@@ -1,0 +1,165 @@
+"""Popularity-weighted random sampler — the default evaluation sampler.
+
+Semantics of reference ``samplers/popular_random_sampler.py``: per-item
+probability = frequency in ``source`` / len(source) (:119-126); a sample draws
+``sample_size`` items without replacement from that distribution, excluding
+``without`` (:77-117 — the reference oversamples by ``len(without)`` then
+filters and truncates, which lands on the same support).
+
+TPU-native differences:
+- the probability distribution is built with one vectorized ``np.bincount``
+  instead of the reference's O(V*S) ``source.count(item)`` loop;
+- :meth:`sample_batch` draws **many exclusion sets at once** via Gumbel
+  top-k (exact weighted sampling without replacement), which is what the
+  vectorized evaluator uses — the reference samples one python list per
+  masked position (SURVEY.md §3.3 "hot, pure python").
+"""
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from bert4rec_tpu.dataloaders.samplers.base_sampler import BaseSampler
+
+
+class PopularRandomSampler(BaseSampler):
+
+    def __init__(self, source: Optional[list] = None,
+                 vocab: Optional[list] = None,
+                 sample_size: Optional[int] = None,
+                 allow_duplicates: bool = False,
+                 seed: Optional[int] = None):
+        super().__init__(source, vocab, sample_size)
+        self.allow_duplicates = allow_duplicates
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        self.probability_distribution: list = []
+        self._vocab_index: dict = {}
+        self._probs: Optional[np.ndarray] = None
+        if self.source is not None and self.vocab is not None:
+            self._determine_probability_distribution(self.source, self.vocab)
+
+    def is_fully_prepared(self) -> bool:
+        if self.vocab is None or self.sample_size is None:
+            return False
+        if self._probs is None or len(self.vocab) != len(self._probs):
+            return False
+        return True
+
+    # ------------------------------------------------------------------ #
+
+    def _determine_probability_distribution(self, source: list, vocab: list):
+        """Vectorized popularity distribution (replaces reference :119-126)."""
+        self._vocab_index = {item: i for i, item in enumerate(vocab)}
+        counts = np.zeros(len(vocab), dtype=np.int64)
+        idx = np.fromiter(
+            (self._vocab_index.get(item, -1) for item in source),
+            count=len(source), dtype=np.int64)
+        np.add.at(counts, idx[idx >= 0], 1)
+        self._probs = counts / max(len(source), 1)
+        self.probability_distribution = self._probs.tolist()
+
+    def _ensure_distribution(self, source, vocab):
+        if self._probs is None or source is not self.source or vocab is not self.vocab:
+            self._determine_probability_distribution(source, vocab)
+
+    # ------------------------------------------------------------------ #
+
+    def sample(self, sample_size: Optional[int] = None,
+               source: Optional[list] = None,
+               vocab: Optional[list] = None,
+               allow_duplicates: Optional[bool] = None,
+               seed: Optional[int] = None,
+               without: Optional[list] = None) -> list:
+        source, vocab, sample_size = self._get_parameters(
+            source, vocab, sample_size)
+        if source is None:
+            raise ValueError(
+                "The source argument has to be given either during the "
+                "initialization of the sampler or as an argument in the "
+                "sample method call when working with the popular random "
+                "sampler.")
+        if vocab is None:
+            raise ValueError(
+                "The vocab argument has to be given either during the "
+                "initialization of the sampler or as an argument in the "
+                "sample method call when working with the popular random "
+                "sampler.")
+        if allow_duplicates is None:
+            allow_duplicates = self.allow_duplicates
+        if not allow_duplicates and sample_size > len(vocab):
+            raise ValueError(
+                f"When no duplicates are allowed in the final sample then "
+                f"the sample size (given sample size: {sample_size})) can "
+                f"not be greater than the length of the vocab (length of the "
+                f"vocab: {len(vocab)})")
+
+        self._ensure_distribution(source, vocab)
+        rng = np.random.default_rng(seed) if seed is not None else self._rng
+
+        without_idx = self._without_indices(without)
+        if not allow_duplicates and sample_size > len(vocab) - len(without_idx):
+            raise ValueError(
+                f"The given without list (length: {len(without_idx)}) reduces "
+                f"the vocab (length: {len(vocab)}) too much to take a sample "
+                f"of size {sample_size} (since no duplicates are allowed).")
+
+        if allow_duplicates:
+            idx = rng.choice(len(vocab), size=sample_size, replace=True,
+                             p=self._probs)
+        else:
+            idx = self._gumbel_topk(rng, without_idx, sample_size)
+        return [vocab[i] for i in idx]
+
+    def sample_batch(self,
+                     without_lists: Sequence[Sequence],
+                     sample_size: Optional[int] = None,
+                     seed: Optional[int] = None) -> np.ndarray:
+        """Draw one weighted-without-replacement sample per exclusion set.
+
+        :param without_lists: B exclusion sets (vocab items)
+        :returns: ``[B, sample_size]`` array of vocab *indices*
+        """
+        _, vocab, sample_size = self._get_parameters(None, None, sample_size)
+        self._ensure_distribution(self.source, vocab)
+        rng = np.random.default_rng(seed) if seed is not None else self._rng
+
+        b, v = len(without_lists), len(vocab)
+        with np.errstate(divide="ignore"):
+            logp = np.log(self._probs)
+        gumbel = rng.gumbel(size=(b, v))
+        scores = gumbel + logp[None, :]
+        for i, without in enumerate(without_lists):
+            idx = self._without_indices(without)
+            if idx.size:
+                scores[i, idx] = -np.inf
+        # top-k per row; candidate order within a sample does not matter
+        part = np.argpartition(-scores, sample_size - 1, axis=1)[:, :sample_size]
+        return part
+
+    # ------------------------------------------------------------------ #
+
+    def _without_indices(self, without: Optional[list]) -> np.ndarray:
+        if not without:
+            return np.empty(0, dtype=np.int64)
+        seen = {self._vocab_index[w] for w in set(without)
+                if w in self._vocab_index}
+        return np.fromiter(seen, dtype=np.int64, count=len(seen))
+
+    def _gumbel_topk(self, rng, without_idx: np.ndarray, k: int) -> np.ndarray:
+        with np.errstate(divide="ignore"):
+            logp = np.log(self._probs)
+        scores = rng.gumbel(size=logp.shape) + logp
+        if without_idx.size:
+            scores[without_idx] = -np.inf
+        return np.argpartition(-scores, k - 1)[:k]
+
+    def set_source(self, source: list):
+        super().set_source(source)
+        if self.vocab is not None:
+            self._determine_probability_distribution(self.source, self.vocab)
+
+    def set_vocab(self, vocab: list):
+        super().set_vocab(vocab)
+        if self.source is not None:
+            self._determine_probability_distribution(self.source, self.vocab)

@@ -1,0 +1,50 @@
+"""Abstract raw dataset.
+
+Same contract as reference ``bert4rec/datasets/base_dataset.py:9-61``:
+classmethod-only API where ``load_data()`` orchestrates
+``is_available() -> download() -> extract_data()`` and returns a
+``pd.DataFrame``; ``load_n_records`` caps the number of records and
+``set_load_n_records`` is daisy-chainable.
+"""
+
+import abc
+from typing import Optional
+
+import pandas as pd
+
+
+class BaseDataset(abc.ABC):
+    # concrete classes set these
+    source: Optional[str] = None   # download URL
+    dest: Optional[str] = None     # destination directory/file under the data dir
+    load_n_records: Optional[int] = None
+
+    @classmethod
+    def set_load_n_records(cls, n: Optional[int]):
+        """Cap the number of records returned by ``load_data`` (chainable)."""
+        cls.load_n_records = n
+        return cls
+
+    @classmethod
+    def load_data(cls) -> pd.DataFrame:
+        if not cls.is_available():
+            cls.download()
+        df = cls.extract_data()
+        if cls.load_n_records is not None:
+            df = df.head(cls.load_n_records)
+        return df
+
+    @classmethod
+    @abc.abstractmethod
+    def is_available(cls) -> bool:
+        ...
+
+    @classmethod
+    @abc.abstractmethod
+    def download(cls):
+        ...
+
+    @classmethod
+    @abc.abstractmethod
+    def extract_data(cls) -> pd.DataFrame:
+        ...

@@ -1,0 +1,146 @@
+"""Preprocessor output contracts (reference preprocessors_tests/*)."""
+
+import numpy as np
+import pytest
+
+from bert4rec_tpu import tokenizers
+from bert4rec_tpu.dataloaders import preprocessors
+from bert4rec_tpu.dataloaders.sequence_dataset import SequenceDataset
+from tests import test_utils
+
+MAX_SEQ = 16
+MAX_PRED = 4
+
+
+@pytest.fixture
+def prep():
+    tok = tokenizers.get("simple")
+    tok.tokenize(["[PAD]", "[MASK]", "[UNK]"])  # ids 0,1,2
+    p = preprocessors.get("bert4rec")
+    p.set_properties(tokenizer=tok, max_seq_len=MAX_SEQ,
+                     max_predictions_per_seq=MAX_PRED,
+                     mask_token_id=1, unk_token_id=2, pad_token_id=0,
+                     masked_lm_rate=0.3, mask_token_rate=1.0,
+                     random_token_rate=0.0)
+    return p
+
+
+EXPECTED_MLM_KEYS = {"labels", "input_word_ids", "input_mask",
+                     "masked_lm_ids", "masked_lm_positions",
+                     "masked_lm_weights"}
+
+
+def test_factory():
+    assert isinstance(preprocessors.get("bert4rec"),
+                      preprocessors.BERT4RecPreprocessor)
+    assert isinstance(preprocessors.get("bert4rec_temporal"),
+                      preprocessors.BERT4RecTemporalPreprocessor)
+    with pytest.raises(ValueError):
+        preprocessors.get("nope")
+
+
+def test_set_properties_partial_update(prep):
+    prep.set_properties(max_seq_len=99)
+    assert prep.max_seq_len == 99
+    assert prep.max_predictions_per_seq == MAX_PRED  # untouched
+
+
+def test_process_element_keys_shapes_padding(prep):
+    features = prep.process_element(list("abcdefgh"), apply_mlm=True,
+                                    finetuning=False)
+    assert set(features.keys()) == EXPECTED_MLM_KEYS
+    assert features["input_word_ids"].shape == (MAX_SEQ,)
+    assert features["labels"].shape == (MAX_SEQ,)
+    assert features["input_mask"].shape == (MAX_SEQ,)
+    assert features["masked_lm_ids"].shape == (MAX_PRED,)
+    assert features["masked_lm_positions"].shape == (MAX_PRED,)
+    assert features["masked_lm_weights"].shape == (MAX_PRED,)
+    # 8 real tokens, rest padded
+    np.testing.assert_array_equal(features["input_mask"][:8], 1)
+    np.testing.assert_array_equal(features["input_mask"][8:], 0)
+    np.testing.assert_array_equal(features["labels"][8:], 0)
+
+
+def test_process_element_no_mlm(prep):
+    features = prep.process_element(list("abc"), apply_mlm=False,
+                                    finetuning=False)
+    assert set(features.keys()) == {"labels", "input_word_ids", "input_mask"}
+    # without mlm the input is the unmasked sequence
+    np.testing.assert_array_equal(features["input_word_ids"],
+                                  features["labels"])
+
+
+def test_process_element_finetuning_masks_last(prep):
+    features = prep.process_element(list("abcde"), apply_mlm=True,
+                                    finetuning=True)
+    assert features["masked_lm_weights"].sum() == 1
+    assert features["masked_lm_positions"][0] == 4
+    assert features["input_word_ids"][4] == 1  # [MASK]
+    assert features["masked_lm_ids"][0] == features["labels"][4]
+
+
+def test_truncation_tail_for_finetuning(prep):
+    seq = [f"item{i}" for i in range(40)]
+    features = prep.process_element(seq, apply_mlm=True, finetuning=True)
+    expected_tail = prep.tokenizer.tokenize(seq)[-MAX_SEQ:]
+    np.testing.assert_array_equal(features["labels"], expected_tail)
+
+
+def test_process_dataset_materializes_batch(prep):
+    ds = test_utils.generate_random_sequence_dataset(20, 5, 30, seed=0)
+    processed = prep.process_dataset(ds, apply_mlm=True, finetuning=False)
+    assert processed.cardinality() == 20
+    features = processed.materialize(seed=0)
+    assert features["input_word_ids"].shape == (20, MAX_SEQ)
+    assert features["masked_lm_ids"].shape == (20, MAX_PRED)
+    # every row has at least one prediction
+    assert (features["masked_lm_weights"].sum(axis=1) >= 1).all()
+
+
+def test_remasking_differs_across_epochs(prep):
+    ds = test_utils.generate_random_sequence_dataset(50, 10, 15, seed=1)
+    processed = prep.process_dataset(ds, apply_mlm=True, finetuning=False)
+    a = processed.materialize(seed=0)
+    b = processed.materialize(seed=1)
+    assert not np.array_equal(a["masked_lm_positions"],
+                              b["masked_lm_positions"])
+    # same seed -> identical (deterministic resume)
+    a2 = processed.materialize(seed=0)
+    np.testing.assert_array_equal(a["input_word_ids"], a2["input_word_ids"])
+
+
+def test_prepare_inference(prep):
+    seq = [f"item{i}" for i in range(5)]
+    prep.tokenizer.tokenize(seq)
+    features = prep.prepare_inference(seq)
+    # batch dim added
+    assert features["input_word_ids"].shape == (1, MAX_SEQ)
+    # placeholder [UNK] appended then masked: 6 tokens, last is [MASK]
+    assert features["input_mask"][0].sum() == 6
+    assert features["input_word_ids"][0, 5] == 1
+    with pytest.raises(ValueError):
+        prep.prepare_inference("not a list")
+
+
+def test_temporal_preprocessor_alignment():
+    tok = tokenizers.get("simple")
+    tok.tokenize(["[PAD]", "[MASK]", "[UNK]"])
+    p = preprocessors.get("bert4rec_temporal")
+    p.set_properties(tokenizer=tok, max_seq_len=8, max_predictions_per_seq=2,
+                     mask_token_id=1, unk_token_id=2, pad_token_id=0,
+                     masked_lm_rate=0.2, mask_token_rate=1.0,
+                     random_token_rate=0.0)
+    seqs = [["a", "b", "c"], ["d", "e", "f", "g"]]
+    ts = [[10, 20, 30], [1, 2, 3, 4]]
+    ds = SequenceDataset(seqs, {"timestamps": ts})
+    processed = p.process_dataset(ds, apply_mlm=True, finetuning=False)
+    features = processed.materialize(seed=0)
+    assert features["input_timestamps"].shape == (2, 8)
+    np.testing.assert_array_equal(features["input_timestamps"][0, :3],
+                                  [10, 20, 30])
+    np.testing.assert_array_equal(features["input_timestamps"][0, 3:], 0)
+
+    # inference appends a current timestamp
+    inf = p.prepare_inference(["a", "b"], timestamps=[5, 6])
+    assert inf["input_timestamps"].shape[0] == 1
+    assert inf["input_timestamps"][0, 2] > 0
