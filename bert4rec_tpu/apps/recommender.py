@@ -1,0 +1,59 @@
+"""Recommender inference app (reference ``bert4rec/apps/recommender.py:6-63``).
+
+Given a raw item-string history: ``prepare_inference`` (append ``[UNK]``,
+last-token mask) -> jitted forward -> MLM logits of the masked position ->
+-inf mask over already-seen items (reference :17-30) -> argmax -> detokenize.
+
+The tied-embedding matmul fallback (reference :38-54, used when a model has
+no MLM head) is ``use_mlm_head=False``: scores = sequence_output @ table^T.
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bert4rec_tpu.models.components.networks import Bert4RecEncoder
+
+
+class Recommender:
+
+    def __init__(self, model, params, dataloader):
+        self.model = model
+        self.params = params
+        self.dataloader = dataloader
+        self._forward = jax.jit(
+            lambda params, inputs: model.apply(params, inputs))
+
+    def __call__(self, sequence: List[str],
+                 use_mlm_head: bool = True) -> str:
+        """Recommend the next item for a raw item-string history."""
+        model_input = self.dataloader.prepare_inference(list(sequence))
+        seen_ids = np.asarray(
+            self.dataloader.tokenizer.tokenize(list(sequence)), dtype=np.int32)
+
+        inputs = {k: jnp.asarray(v) for k, v in model_input.items()}
+        outputs = self._forward(self.params, inputs)
+
+        if use_mlm_head and "mlm_logits" in outputs:
+            # the single masked position is slot 0 (last-token mask)
+            logits = outputs["mlm_logits"][0, 0]
+        else:
+            # tied-embedding fallback on the masked position's hidden state
+            pos = int(np.asarray(model_input["masked_lm_positions"])[0, 0])
+            hidden = outputs["sequence_output"][0, pos]
+            table = Bert4RecEncoder.get_embedding_table(
+                self.params["encoder"])
+            logits = jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
+                                table.astype(jnp.float32))
+
+        vocab_size = logits.shape[-1]
+        mask = np.zeros(vocab_size, dtype=np.float32)
+        mask[seen_ids[seen_ids < vocab_size]] = -np.inf
+        # special tokens are never recommendations
+        for sid in self.model.special_token_ids:
+            mask[sid] = -np.inf
+
+        best = int(jnp.argmax(logits + jnp.asarray(mask)))
+        return self.dataloader.tokenizer.detokenize(best)

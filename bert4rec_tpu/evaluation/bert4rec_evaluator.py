@@ -1,0 +1,155 @@
+"""Sampled-negative ranking evaluator — the reference protocol, vectorized.
+
+Protocol parity with reference ``bert4rec/evaluation/bert4rec_evaluator.py``:
+default metrics ``[Counter("Valid Ranks"), NDCG@1/5/10, HR@1/5/10, MAP]``
+(:12-21); default sampler "pop_random" with sample_size=100, source/vocab
+auto-built from the dataloader (:26-44); per masked position the exclusion
+set is the sequence's full label list + the ground truth, 100 negatives are
+drawn and the ground truth appended => 101 candidates (:90-104); the metric
+update is the 1-based rank of the ground truth (:112-120). Ties rank ahead of
+the ground truth, matching the reference's stable descending argsort with the
+ground truth gathered last.
+
+TPU-native difference (SURVEY.md §3.3: eval was the reference's slowest
+path — per-position python sampling + host argsort): negatives for ALL
+masked positions of a batch are drawn in one vectorized Gumbel-top-k pass,
+and ranks for the whole batch come from ONE jitted forward + candidate
+gather: rank = 1 + #{negatives with logit >= gt logit}.
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bert4rec_tpu.evaluation import evaluation_metrics as metrics_lib
+from bert4rec_tpu.evaluation.base_evaluator import BaseEvaluator
+
+
+def default_metrics() -> List[metrics_lib.EvaluationMetric]:
+    return [
+        metrics_lib.Counter("Valid Ranks"),
+        metrics_lib.NDCG(1), metrics_lib.NDCG(5), metrics_lib.NDCG(10),
+        metrics_lib.HR(1), metrics_lib.HR(5), metrics_lib.HR(10),
+        metrics_lib.MAP(),
+    ]
+
+
+class BERT4RecEvaluator(BaseEvaluator):
+
+    def __init__(self, metrics: Optional[list] = None,
+                 sampler="pop_random",
+                 dataloader=None,
+                 sample_size: int = 100,
+                 seed: Optional[int] = None):
+        sampler_config = {"sample_size": sample_size}
+        if seed is not None:
+            sampler_config["seed"] = seed
+        super().__init__(metrics if metrics is not None else default_metrics(),
+                         sampler, dataloader, sampler_config)
+        self.sample_size = sample_size
+        self.seed = seed
+        self._rank_fn_cache = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _prepare_sampler(self):
+        """Auto-build source/vocab from the dataloader
+        (reference bert4rec_evaluator.py:26-44)."""
+        if self.sampler.is_fully_prepared():
+            return
+        if self.dataloader is None:
+            raise ValueError(
+                "The sampler is not fully prepared (missing source/vocab) "
+                "and no dataloader is available to derive them from.")
+        source = self.dataloader.create_item_list_tokenized()
+        self.sampler.set_source(list(source))
+        self.sampler.set_vocab(list(dict.fromkeys(source)))
+        if self.sampler.sample_size is None:
+            self.sampler.set_sample_size(self.sample_size)
+
+    def _rank_fn(self, model):
+        """One jitted computation: forward -> gather candidates -> gt rank."""
+        key = id(model)
+        if key not in self._rank_fn_cache:
+            def ranks(params, batch, candidates):
+                out = model.apply(params, batch)
+                logits = out["mlm_logits"]  # [B, P, V] fp32
+                cand = jnp.take_along_axis(logits, candidates, axis=-1)
+                gt = cand[..., -1:]
+                beaten = jnp.sum((cand[..., :-1] >= gt).astype(jnp.int32),
+                                 axis=-1)
+                return beaten + 1  # [B, P]
+            self._rank_fn_cache[key] = jax.jit(ranks)
+        return self._rank_fn_cache[key]
+
+    # ------------------------------------------------------------------ #
+
+    def _sample_negatives(self, without_lists, n: int) -> np.ndarray:
+        """[N, sample_size] negative ids, one row per masked position."""
+        vocab_arr = np.asarray(self.sampler.vocab)
+        if hasattr(self.sampler, "sample_batch"):
+            idx = self.sampler.sample_batch(without_lists, self.sample_size)
+            return vocab_arr[idx]
+        rows = [self.sampler.sample(self.sample_size, without=list(w))
+                for w in without_lists]
+        return np.asarray(rows)
+
+    def evaluate_batch(self, model, params, batch: dict) -> np.ndarray:
+        """Rank ground truths of one feature batch; returns the valid ranks."""
+        labels = np.asarray(batch["labels"])
+        positions = np.asarray(batch["masked_lm_positions"])
+        gt_ids = np.asarray(batch["masked_lm_ids"])
+        weights = np.asarray(batch["masked_lm_weights"])
+        b, p = positions.shape
+        valid = weights > 0
+
+        # exclusion set per masked position: the sequence's labels + gt
+        # (reference :90-95; gt is itself a label so the set is per-sequence)
+        seq_without = [labels[i][labels[i] != 0].tolist() for i in range(b)]
+        rows, cols = np.nonzero(valid)
+        without_lists = [seq_without[i] + [int(gt_ids[i, j])]
+                         for i, j in zip(rows, cols)]
+        if not without_lists:
+            return np.empty(0, dtype=np.int64)
+
+        negatives = self._sample_negatives(without_lists, len(without_lists))
+
+        candidates = np.zeros((b, p, self.sample_size + 1), dtype=np.int32)
+        candidates[rows, cols, :-1] = negatives
+        candidates[..., -1] = gt_ids  # ground truth last (reference :101-104)
+
+        feature_batch = {k: v for k, v in batch.items() if k != "labels"}
+        ranks = np.asarray(self._rank_fn(model)(
+            params, feature_batch, jnp.asarray(candidates)))
+        return ranks[valid]
+
+    def evaluate(self, model, params=None, test_ds=None,
+                 batch_size: int = 256, seed: int = 0,
+                 progress_bar: bool = True) -> dict:
+        """Evaluate over a ProcessedDataset (or an iterable of feature
+        batches). ``model`` may be a BERT4RecModelWrapper (params taken from
+        it, reference evaluate signature parity)."""
+        if params is None and hasattr(model, "params"):
+            model, params = model.model, model.params
+        self._prepare_sampler()
+
+        if hasattr(test_ds, "batches"):
+            batches = test_ds.batches(batch_size, shuffle=False, seed=seed,
+                                      pad_final_batch=False)
+        else:
+            batches = test_ds
+        iterator = batches
+        if progress_bar:
+            try:
+                import tqdm
+                iterator = tqdm.tqdm(batches, desc="evaluating")
+            except ImportError:
+                pass
+
+        for batch in iterator:
+            ranks = self.evaluate_batch(model, params, batch)
+            for metric in self._metrics:
+                metric.update_batch(ranks)
+        return self.get_metrics_results()

@@ -1,0 +1,166 @@
+"""BERT4Rec model: encoder + tied-embedding MLM head + vectorized ranking.
+
+Native rebuild of reference ``bert4rec/models/bert4rec_model.py:27-240`` and
+the ``tfm.nlp.layers.MaskedLM`` head it wraps (reference :76-81): gather the
+masked positions, dense+gelu+LayerNorm transform, matmul against the tied
+item-embedding table, add a per-item output bias.
+
+TPU-native differences:
+- ``rank_items`` is one jitted gather + argsort over ``[B, P, C]`` candidate
+  logits instead of the reference's per-position python loops
+  (reference :203-240);
+- special-token ids are an explicit constructor argument instead of a
+  module-import side effect (reference quirk at :24, SURVEY.md §7);
+- the ``prediction_mask`` over special tokens — which the reference builds and
+  then disables (:92-102) — is available behind ``apply_prediction_mask``
+  (default off for parity).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from bert4rec_tpu.core.dtypes import DTypePolicy
+from bert4rec_tpu.models.components import layers as L
+from bert4rec_tpu.models.components.networks import Bert4RecEncoder
+from bert4rec_tpu.models.config import BERT4RecConfig
+
+# [PAD], [MASK], [UNK] — assigned ids 0/1/2 by the dataloader at init
+# (bert4rec_tpu/dataloaders/bert4rec_dataloader.py; reference bert4rec_model.py:24)
+SPECIAL_TOKEN_IDS = [0, 1, 2]
+
+
+class BERT4RecModel:
+    """Encoder + MLM head over one param pytree
+    ``{"encoder": ..., "mlm": ...}``."""
+
+    def __init__(self,
+                 encoder: Bert4RecEncoder = None,
+                 config: BERT4RecConfig = None,
+                 special_token_ids: Sequence[int] = tuple(SPECIAL_TOKEN_IDS),
+                 dtype_policy: Optional[DTypePolicy] = None):
+        if encoder is None:
+            if config is None:
+                raise ValueError("Provide either an encoder or a config")
+            encoder = Bert4RecEncoder(config, dtype_policy)
+        self.encoder = encoder
+        self.config = encoder.config
+        self.dtype_policy = dtype_policy or encoder.dtype_policy
+        self.special_token_ids = list(special_token_ids)
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, rng: jax.Array) -> dict:
+        cfg = self.config
+        enc_rng, mlm_rng = jax.random.split(rng)
+        encoder_params = self.encoder.init(enc_rng)
+        mlm_params = {
+            # transform back to table width for the tied matmul
+            "transform": L.init_dense(mlm_rng, cfg.hidden_size,
+                                      cfg.table_width,
+                                      cfg.initializer_range),
+            "transform_norm": L.init_layer_norm(cfg.table_width),
+            "output_bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+        }
+        return {"encoder": encoder_params, "mlm": mlm_params}
+
+    # ------------------------------------------------------------------ #
+
+    def mlm_logits(self, params: dict, sequence_output: jnp.ndarray,
+                   masked_lm_positions: jnp.ndarray) -> jnp.ndarray:
+        """Gather masked positions -> transform -> tied matmul -> [B, P, V].
+
+        Logits are fp32 (loss/softmax stability); the matmul itself runs in
+        compute dtype so a vocab-sharded table keeps its 'model'-axis layout
+        and GSPMD turns this into column-parallel logits + no gather of the
+        full table.
+        """
+        compute_dtype = self.dtype_policy.compute_dtype
+        x = jnp.take_along_axis(
+            sequence_output, masked_lm_positions[..., None].astype(jnp.int32),
+            axis=1)  # [B, P, H]
+        x = L.dense(params["mlm"]["transform"], x, compute_dtype)
+        x = L.get_activation(self.config.inner_activation)(x)
+        x = L.layer_norm(params["mlm"]["transform_norm"], x)
+
+        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+        logits = jnp.einsum("bpw,vw->bpv", x, table.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+        return logits + params["mlm"]["output_bias"]
+
+    def apply(self, params: dict, inputs: dict, *,
+              training: bool = False,
+              rng: Optional[jax.Array] = None,
+              apply_prediction_mask: bool = False,
+              output_range: Optional[int] = None) -> dict:
+        """Forward pass over the reference feature dict.
+
+        ``mlm_logits`` is produced iff ``masked_lm_positions`` is present
+        (reference bert4rec_model.py:110-149).
+        """
+        outputs = dict(self.encoder.apply(
+            params["encoder"],
+            inputs["input_word_ids"], inputs["input_mask"],
+            training=training, rng=rng, output_range=output_range))
+
+        if "masked_lm_positions" in inputs:
+            logits = self.mlm_logits(params, outputs["sequence_output"],
+                                     inputs["masked_lm_positions"])
+            if apply_prediction_mask and self.special_token_ids:
+                mask = jnp.zeros((self.config.vocab_size,), jnp.float32) \
+                    .at[jnp.asarray(self.special_token_ids)].set(-1e9)
+                logits = logits + mask
+            outputs["mlm_logits"] = logits
+        return outputs
+
+    __call__ = apply
+
+    # ------------------------------------------------------------------ #
+    # ranking (reference rank_items, bert4rec_model.py:203-240 — vectorized)
+    # ------------------------------------------------------------------ #
+
+    def rank_with_candidates(self, params: dict, inputs: dict,
+                             candidates: jnp.ndarray) -> tuple:
+        """Rank per-position candidate item lists.
+
+        :param candidates: ``[B, P, C]`` int ids per masked position
+        :returns: ``(rankings [B, P, C] ids ordered best-first,
+                     probabilities [B, P, V] softmax over the full vocab)``
+        """
+        outputs = self.apply(params, inputs)
+        logits = outputs["mlm_logits"]  # [B, P, V]
+        probabilities = jax.nn.softmax(logits, axis=-1)
+        cand_logits = jnp.take_along_axis(logits, candidates, axis=-1)
+        order = jnp.argsort(-cand_logits, axis=-1)
+        rankings = jnp.take_along_axis(candidates, order, axis=-1)
+        return rankings, probabilities
+
+    def rank_full_vocab(self, params: dict, inputs: dict) -> tuple:
+        """Rank the entire vocabulary per masked position:
+        ``rankings [B, P, V]`` best-first + softmax probabilities."""
+        outputs = self.apply(params, inputs)
+        logits = outputs["mlm_logits"]
+        probabilities = jax.nn.softmax(logits, axis=-1)
+        rankings = jnp.argsort(-logits, axis=-1)
+        return rankings, probabilities
+
+    def rank_items(self, params: dict, encoder_input: dict,
+                   rank_items_list: Optional[jnp.ndarray] = None) -> tuple:
+        """Reference-signature convenience (bert4rec_model.py:203).
+
+        ``rank_items_list`` is ``[B, P, C]`` (or None for full vocab).
+        """
+        if rank_items_list is None:
+            return self.rank_full_vocab(params, encoder_input)
+        return self.rank_with_candidates(params, encoder_input,
+                                         jnp.asarray(rank_items_list))
+
+    # ------------------------------------------------------------------ #
+
+    def get_config(self) -> dict:
+        return self.config.to_dict()
+
+    @classmethod
+    def from_config(cls, config: dict, **kwargs) -> "BERT4RecModel":
+        return cls(config=BERT4RecConfig.from_dict(config), **kwargs)

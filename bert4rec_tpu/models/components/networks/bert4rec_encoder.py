@@ -1,0 +1,151 @@
+"""Bidirectional transformer encoder — native rebuild of the reference
+``Bert4RecEncoder`` (reference
+bert4rec/models/components/networks/bert4rec_encoder.py:13-263).
+
+Composition (reference :103-231): item-embedding lookup + learned absolute
+position embeddings -> add -> LayerNorm(eps 1e-12, fp32) -> dropout ->
+optional factorized embedding projection (embedding_width != hidden_size,
+:124-131) -> additive pad-mask attention bias (:134-135) -> N transformer
+blocks (``output_range`` slicing on the last layer, :136-147) -> tanh pooler
+on token 0 (:149-153). Returns ``{sequence_output, pooled_output,
+encoder_outputs}`` (:228-231); ``get_embedding_table`` exposes the table for
+MLM weight tying (:233-234).
+
+TPU-native design: pure functions over a nested-dict param pytree; bf16
+compute via :class:`~bert4rec_tpu.core.dtypes.DTypePolicy`; no framework
+layer objects. The param *paths* (``item_embeddings/embedding`` etc.) are the
+contract the sharding rules in ``core/partitioning.py`` match against.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bert4rec_tpu.core.dtypes import DTypePolicy
+from bert4rec_tpu.models.components import layers as L
+from bert4rec_tpu.models.components.transformer import (
+    init_transformer_block,
+    transformer_block,
+)
+from bert4rec_tpu.models.config import BERT4RecConfig
+
+
+class Bert4RecEncoder:
+    """Stateless module: ``init`` makes the param pytree, ``apply`` runs it."""
+
+    def __init__(self, config: BERT4RecConfig,
+                 dtype_policy: Optional[DTypePolicy] = None):
+        self.config = config
+        self.dtype_policy = dtype_policy or DTypePolicy.f32()
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, rng: jax.Array) -> dict:
+        cfg = self.config
+        stddev = cfg.initializer_range
+        n_keys = 4 + cfg.num_layers
+        keys = jax.random.split(rng, n_keys)
+
+        params = {
+            "item_embeddings": L.init_embedding(
+                keys[0], cfg.vocab_size, cfg.table_width, stddev),
+            "position_embeddings": L.init_position_embedding(
+                keys[1], cfg.max_sequence_length, cfg.table_width, stddev),
+            "embedding_norm": L.init_layer_norm(cfg.table_width),
+            "layers": {
+                f"layer_{i}": init_transformer_block(
+                    keys[4 + i], cfg.hidden_size, cfg.num_attention_heads,
+                    cfg.inner_dim, stddev)
+                for i in range(cfg.num_layers)
+            },
+            "pooler": L.init_dense(keys[2], cfg.hidden_size, cfg.hidden_size,
+                                   stddev),
+        }
+        if cfg.embedding_width is not None \
+                and cfg.embedding_width != cfg.hidden_size:
+            params["embedding_projection"] = L.init_dense(
+                keys[3], cfg.embedding_width, cfg.hidden_size, stddev)
+        return params
+
+    # ------------------------------------------------------------------ #
+
+    def apply(self, params: dict,
+              input_word_ids: jnp.ndarray,
+              input_mask: jnp.ndarray,
+              *,
+              training: bool = False,
+              rng: Optional[jax.Array] = None,
+              output_range: Optional[int] = None) -> dict:
+        """Forward pass.
+
+        :param input_word_ids: ``[B, S]`` int item ids
+        :param input_mask: ``[B, S]`` 1 for real tokens, 0 for padding
+        :param output_range: compute only the first ``output_range`` positions
+            of the final layer (reference's last-block slicing, :218-222)
+        :returns: dict with ``sequence_output`` ``[B, S(or R), H]``,
+            ``pooled_output`` ``[B, H]``, ``encoder_outputs`` list per layer.
+        """
+        cfg = self.config
+        compute_dtype = self.dtype_policy.compute_dtype
+        act = L.get_activation(cfg.inner_activation)
+        seq_len = input_word_ids.shape[1]
+
+        n_rngs = cfg.num_layers + 1
+        rngs = (jax.random.split(rng, n_rngs) if rng is not None
+                else (None,) * n_rngs)
+
+        x = L.embedding_lookup(params["item_embeddings"], input_word_ids,
+                               compute_dtype)
+        x = x + L.position_embedding(params["position_embeddings"], seq_len,
+                                     compute_dtype)
+        x = L.layer_norm(params["embedding_norm"], x)
+        x = L.dropout(rngs[0], x, cfg.output_dropout, training)
+
+        if "embedding_projection" in params:
+            x = L.dense(params["embedding_projection"], x, compute_dtype)
+
+        attn_bias = L.self_attention_mask(input_mask)
+
+        encoder_outputs = []
+        for i in range(cfg.num_layers):
+            is_last = i == cfg.num_layers - 1
+            x = transformer_block(
+                params["layers"][f"layer_{i}"], x, attn_bias,
+                num_heads=cfg.num_attention_heads,
+                inner_activation=act,
+                output_dropout=cfg.output_dropout,
+                attention_dropout=cfg.attention_dropout,
+                rng=rngs[1 + i],
+                training=training,
+                norm_first=cfg.norm_first,
+                compute_dtype=compute_dtype,
+                query_range=output_range if is_last else None)
+            encoder_outputs.append(x)
+
+        sequence_output = encoder_outputs[-1]
+        first_token = sequence_output[:, 0]
+        pooled_output = jnp.tanh(
+            L.dense(params["pooler"], first_token, compute_dtype))
+
+        return {
+            "sequence_output": sequence_output,
+            "pooled_output": pooled_output,
+            "encoder_outputs": encoder_outputs,
+        }
+
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def get_embedding_table(params: dict) -> jnp.ndarray:
+        """The tied item-embedding table [V, W] (reference :233-234)."""
+        return params["item_embeddings"]["embedding"]
+
+    def get_config(self) -> dict:
+        return self.config.to_dict()
+
+    @classmethod
+    def from_config(cls, config: dict,
+                    dtype_policy: Optional[DTypePolicy] = None
+                    ) -> "Bert4RecEncoder":
+        return cls(BERT4RecConfig.from_dict(config), dtype_policy)

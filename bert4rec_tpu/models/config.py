@@ -1,0 +1,96 @@
+"""Encoder configuration.
+
+Mirrors the constructor surface of the reference encoder
+(reference bert4rec/models/components/networks/bert4rec_encoder.py:62-93),
+including the V1-kwarg aliases (:81-93), as a frozen dataclass that also
+round-trips the 13 shipped JSON config files
+(reference bert4rec/config/bert4rec_train_configs/*.json with keys
+``attention_dropout, output_dropout, hidden_size, inner_dim,
+max_sequence_length, num_attention_heads, num_layers``).
+"""
+
+import dataclasses
+import json
+import pathlib
+from typing import Optional
+
+# Reference V1 kwarg names -> canonical names
+# (reference bert4rec_encoder.py:81-93)
+_V1_ALIASES = {
+    "num_hidden_layers": "num_layers",
+    "intermediate_size": "inner_dim",
+    "hidden_activation": "inner_activation",
+    "hidden_dropout_rate": "output_dropout",
+    "attention_dropout_rate": "attention_dropout",
+    "max_position_embeddings": "max_sequence_length",
+    "dropout_rate": "output_dropout",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class BERT4RecConfig:
+    """Hyperparameters of the bidirectional encoder + MLM head.
+
+    Defaults are BERT-Base, matching the reference encoder defaults
+    (bert4rec_encoder.py:62-79).
+    """
+    vocab_size: int
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_attention_heads: int = 12
+    inner_dim: int = 3072
+    inner_activation: str = "gelu"
+    output_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    max_sequence_length: int = 512
+    initializer_range: float = 0.02
+    # factorized embedding: table width != hidden size => linear projection
+    # (reference bert4rec_encoder.py:124-131)
+    embedding_width: Optional[int] = None
+    norm_first: bool = False
+    # training-time feature contract
+    max_predictions_per_seq: int = 40
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_attention_heads != 0:
+            raise ValueError(
+                f"hidden_size={self.hidden_size} must be divisible by "
+                f"num_attention_heads={self.num_attention_heads}")
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def table_width(self) -> int:
+        """Width of the item-embedding table (embedding_width if factorized)."""
+        return self.embedding_width or self.hidden_size
+
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_dict(cls, d: dict, **overrides) -> "BERT4RecConfig":
+        d = {_V1_ALIASES.get(k, k): v for k, v in d.items()}
+        d.update(overrides)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def from_json_file(cls, path, **overrides) -> "BERT4RecConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f), **overrides)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json_file(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    def replace(self, **kwargs) -> "BERT4RecConfig":
+        return dataclasses.replace(self, **kwargs)

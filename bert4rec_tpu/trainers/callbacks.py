@@ -1,0 +1,104 @@
+"""Keras-free training callbacks (reference uses keras ModelCheckpoint /
+EarlyStopping, bert4rec_trainer.py:45-58 & examples). Small native
+equivalents driven by the trainer's epoch loop."""
+
+import math
+import pathlib
+from typing import Optional
+
+
+class Callback:
+    def on_train_begin(self, trainer): ...
+    def on_epoch_end(self, trainer, epoch: int, logs: dict): ...
+    def on_train_end(self, trainer): ...
+
+    @property
+    def stop_training(self) -> bool:
+        return False
+
+
+class History(Callback):
+    """Collects per-epoch logs (keras History parity)."""
+
+    def __init__(self):
+        self.history = {}
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        for k, v in logs.items():
+            self.history.setdefault(k, []).append(v)
+
+
+class ModelCheckpoint(Callback):
+    """Best-metric train-state checkpointing (reference keras ModelCheckpoint
+    w/ monitor='val_masked_accuracy', save_best_only=True,
+    bert4rec_trainer.py:46-51). Saves the FULL train state (params +
+    optimizer state + step + rng) so resume is exact — fixing the
+    reference's optimizer-state gap (bert4rec_trainer.py:57-58)."""
+
+    def __init__(self, filepath, monitor: str = "val_masked_accuracy",
+                 mode: str = "max", save_best_only: bool = True,
+                 verbose: bool = True):
+        self.filepath = pathlib.Path(filepath)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_best_only = save_best_only
+        self.verbose = verbose
+        self.best: float = -math.inf if mode == "max" else math.inf
+
+    def _improved(self, value: float) -> bool:
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None and self.save_best_only:
+            return
+        if self.save_best_only and not self._improved(float(value)):
+            return
+        if value is not None:
+            self.best = float(value)
+        trainer.save_checkpoint(self.filepath)
+        if self.verbose:
+            print(f"[checkpoint] epoch {epoch}: saved to {self.filepath} "
+                  f"({self.monitor}={value})")
+
+
+class EarlyStopping(Callback):
+    """Stop when the monitored metric plateaus (keras EarlyStopping parity)."""
+
+    def __init__(self, monitor: str = "val_loss", patience: int = 5,
+                 mode: str = "min", min_delta: float = 0.0,
+                 restore_best_weights: bool = False):
+        self.monitor = monitor
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = abs(min_delta)
+        self.restore_best_weights = restore_best_weights
+        self.best = -math.inf if mode == "max" else math.inf
+        self.best_state = None
+        self.wait = 0
+        self._stop = False
+
+    @property
+    def stop_training(self) -> bool:
+        return self._stop
+
+    def _improved(self, value: float) -> bool:
+        if self.mode == "max":
+            return value > self.best + self.min_delta
+        return value < self.best - self.min_delta
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if self._improved(float(value)):
+            self.best = float(value)
+            self.wait = 0
+            if self.restore_best_weights:
+                self.best_state = trainer.state
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self._stop = True
+                if self.restore_best_weights and self.best_state is not None:
+                    trainer.state = self.best_state

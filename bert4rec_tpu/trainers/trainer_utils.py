@@ -1,0 +1,42 @@
+"""Loss & metrics (reference ``bert4rec/trainers/trainer_utils.py:4-60``).
+
+Identical math in jax: masked sparse categorical cross-entropy (pad label 0
+excluded) and masked accuracy. Both are jit-safe pure functions returning
+fp32 scalars.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_sparse_categorical_crossentropy(y_true: jnp.ndarray,
+                                           logits: jnp.ndarray) -> jnp.ndarray:
+    """SCCE(from_logits) over positions where ``y_true != 0``, mean over the
+    unmasked count (reference trainer_utils.py:4-23).
+
+    :param y_true: ``[B, P]`` int labels, 0 = padding
+    :param logits: ``[B, P, V]`` fp logits
+    """
+    mask = (y_true != 0).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, y_true[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    total = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / total
+
+
+def masked_accuracy(y_true: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """argmax == label over non-pad positions (reference :26-60)."""
+    mask = (y_true != 0).astype(jnp.float32)
+    pred = jnp.argmax(logits, axis=-1).astype(y_true.dtype)
+    correct = (pred == y_true).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(correct * mask) / total
+
+
+def sparse_categorical_accuracy(y_true: jnp.ndarray,
+                                logits: jnp.ndarray) -> jnp.ndarray:
+    """Unmasked argmax accuracy (Keras SparseCategoricalAccuracy parity,
+    reference bert4rec_trainer.py:13-35 metric list)."""
+    pred = jnp.argmax(logits, axis=-1).astype(y_true.dtype)
+    return jnp.mean((pred == y_true).astype(jnp.float32))

@@ -22,6 +22,15 @@ def get_project_root() -> pathlib.Path:
     return pathlib.Path(__file__).resolve().parent.parent.parent
 
 
+def get_virtual_env_path() -> pathlib.Path:
+    """Reference API parity (utils.py:10): the active virtualenv if any,
+    else the project root (this framework has no venv coupling)."""
+    env = os.environ.get("VIRTUAL_ENV")
+    if env:
+        return pathlib.Path(env)
+    return get_project_root()
+
+
 def get_data_dir() -> pathlib.Path:
     return get_project_root() / "data"
 

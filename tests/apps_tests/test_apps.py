@@ -1,0 +1,74 @@
+"""Recommender / Ranker app tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from bert4rec_tpu.apps import Ranker, Recommender
+from bert4rec_tpu.dataloaders import BERT4RecDataloader
+from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+from tests import test_utils
+
+SEQ_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dataloader = BERT4RecDataloader(max_seq_len=SEQ_LEN,
+                                    max_predictions_per_seq=3)
+    vocab = test_utils.generate_random_word_list(n_words=30, seed=0)
+    dataloader.generate_vocab(vocab)
+    vocab_size = dataloader.tokenizer.get_vocab_size()
+    cfg = BERT4RecConfig(vocab_size=vocab_size, hidden_size=16, num_layers=2,
+                         num_attention_heads=2, inner_dim=32,
+                         max_sequence_length=SEQ_LEN,
+                         max_predictions_per_seq=3)
+    model = BERT4RecModel(config=cfg)
+    params = model.init(jax.random.key(0))
+    return model, params, dataloader, vocab
+
+
+class TestRecommender:
+
+    def test_recommends_unseen_item(self, setup):
+        model, params, dataloader, vocab = setup
+        recommender = Recommender(model, params, dataloader)
+        history = vocab[:5]
+        rec = recommender(history)
+        assert isinstance(rec, str)
+        assert rec in vocab          # a real item, not a special token
+        assert rec not in history    # seen items are masked out
+
+    def test_tied_fallback_path(self, setup):
+        model, params, dataloader, vocab = setup
+        recommender = Recommender(model, params, dataloader)
+        rec = recommender(vocab[:5], use_mlm_head=False)
+        assert rec in vocab
+        assert rec not in vocab[:5]
+
+
+class TestRanker:
+
+    def test_rank_single_item(self, setup):
+        model, params, dataloader, vocab = setup
+        ranker = Ranker(model, params, dataloader)
+        rank, text = ranker(vocab[:5], rank_item=vocab[10])
+        assert 1 <= rank <= dataloader.tokenizer.get_vocab_size()
+        assert vocab[10] in text
+
+    def test_rank_candidate_list(self, setup):
+        model, params, dataloader, vocab = setup
+        ranker = Ranker(model, params, dataloader)
+        candidates = vocab[8:14]
+        ranking = ranker(vocab[:5], rank_items=candidates)
+        assert len(ranking) == len(candidates)
+        items = [item for item, _ in ranking]
+        assert sorted(items) == sorted(candidates)
+        ranks = [r for _, r in ranking]
+        assert ranks == list(range(1, len(candidates) + 1))
+
+    def test_requires_target(self, setup):
+        model, params, dataloader, vocab = setup
+        ranker = Ranker(model, params, dataloader)
+        with pytest.raises(ValueError):
+            ranker(vocab[:5])

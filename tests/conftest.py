@@ -6,8 +6,14 @@ Sharding tests exercise the (data, model) mesh without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) registers itself regardless of the
+# JAX_PLATFORMS env var; jax.config wins over it.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,139 @@
+"""End-to-end evaluator tests on a random model + random data
+(contract parity with reference tests/evaluators_tests/
+bert4rec_evaluator_tests.py:36-121)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bert4rec_tpu.dataloaders.processed_dataset import MaskingConfig, ProcessedDataset
+from bert4rec_tpu.dataloaders import samplers
+from bert4rec_tpu.evaluation import BERT4RecEvaluator, get as get_evaluator
+from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+from tests import test_utils
+
+VOCAB = 150
+SAMPLE_SIZE = 20
+
+
+def make_model():
+    cfg = BERT4RecConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                         num_attention_heads=4, inner_dim=64,
+                         max_sequence_length=16, max_predictions_per_seq=4)
+    return BERT4RecModel(config=cfg)
+
+
+def make_eval_dataset(n=24, seed=0):
+    seqs = test_utils.generate_tokenized_dataset(
+        n_sequences=n, min_len=6, max_len=16, vocab_size=VOCAB, seed=seed)
+    cfg = MaskingConfig(max_seq_len=16, max_predictions_per_seq=4,
+                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                        masked_lm_rate=0.3)
+    # finetuning=True -> last-token-only mask (the LOO eval protocol)
+    return ProcessedDataset(seqs, cfg, lambda: VOCAB,
+                            finetuning=np.ones(n, dtype=bool)), seqs
+
+
+def make_sampler(seqs):
+    source = [int(t) for s in seqs for t in s]
+    vocab = list(dict.fromkeys(source))
+    return samplers.get("pop_random", source=source, vocab=vocab,
+                        sample_size=SAMPLE_SIZE, seed=0)
+
+
+class TestBERT4RecEvaluator:
+
+    def test_evaluate_end_to_end(self):
+        model = make_model()
+        params = model.init(jax.random.key(0))
+        ds, seqs = make_eval_dataset()
+        evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                      sample_size=SAMPLE_SIZE)
+        results = evaluator.evaluate(model, params, ds, batch_size=8,
+                                     progress_bar=False)
+        # one rank per sequence (last-token mask => 1 valid position each)
+        assert results["Valid Ranks"] == len(ds)
+        for name, value in results.items():
+            if name == "Valid Ranks":
+                continue
+            assert 0.0 <= value <= 1.0, f"{name}={value} outside [0,1]"
+        # ranks are within [1, SAMPLE_SIZE+1] => HR@(S+1) would be 1;
+        # sanity: HR@10 <= HR@... ordering
+        assert results["HR@1"] <= results["HR@5"] <= results["HR@10"]
+        assert results["NDCG@1"] <= results["NDCG@10"]
+
+    def test_random_model_hr_near_chance(self):
+        """Untrained model: HR@10 over 21 candidates ~ 10/21 on average."""
+        model = make_model()
+        params = model.init(jax.random.key(1))
+        ds, seqs = make_eval_dataset(n=64)
+        evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                      sample_size=SAMPLE_SIZE)
+        results = evaluator.evaluate(model, params, ds, batch_size=16,
+                                     progress_bar=False)
+        # loose statistical bound: chance is ~0.476; allow wide noise margin
+        assert 0.15 <= results["HR@10"] <= 0.85
+
+    def test_reset_metrics(self):
+        model = make_model()
+        params = model.init(jax.random.key(0))
+        ds, seqs = make_eval_dataset()
+        evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                      sample_size=SAMPLE_SIZE)
+        evaluator.evaluate(model, params, ds, batch_size=8,
+                           progress_bar=False)
+        assert evaluator.get_metrics_results()["Valid Ranks"] > 0
+        evaluator.reset_metrics()
+        results = evaluator.get_metrics_results()
+        assert results["Valid Ranks"] == 0
+        assert results["MAP"] == 0.0
+
+    def test_save_results(self, tmp_path):
+        model = make_model()
+        params = model.init(jax.random.key(0))
+        ds, seqs = make_eval_dataset()
+        evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                      sample_size=SAMPLE_SIZE)
+        evaluator.evaluate(model, params, ds, batch_size=8,
+                           progress_bar=False)
+        out = evaluator.save_results(tmp_path)
+        assert out.is_file()
+        import json
+        with open(out) as f:
+            saved = json.load(f)
+        assert saved == evaluator.get_metrics_results()
+
+    def test_factory(self):
+        ev = get_evaluator("bert4rec", sample_size=5)
+        assert isinstance(ev, BERT4RecEvaluator)
+        with pytest.raises(ValueError):
+            get_evaluator("nope")
+
+    def test_perfect_model_ranks_first(self):
+        """If gt logit is +inf-like, every rank must be 1."""
+        model = make_model()
+        params = model.init(jax.random.key(0))
+        ds, seqs = make_eval_dataset(n=8)
+        evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                      sample_size=SAMPLE_SIZE)
+        evaluator._prepare_sampler()
+        batch = next(ds.batches(8, shuffle=False, seed=0))
+
+        # monkeypatch the rank fn with an oracle logits producer
+        import jax.numpy as jnp
+
+        class Oracle:
+            special_token_ids = [0, 1, 2]
+
+            @staticmethod
+            def apply(params, inputs, **kw):
+                b, p = inputs["masked_lm_positions"].shape
+                logits = jnp.zeros((b, p, VOCAB))
+                gt = inputs["masked_lm_ids"]
+                logits = jnp.take_along_axis(
+                    logits, gt[..., None], axis=-1).at[...].set(0)  # noop
+                onehot = jax.nn.one_hot(gt, VOCAB) * 1e9
+                return {"mlm_logits": onehot}
+
+        ranks = evaluator.evaluate_batch(Oracle, params, batch)
+        assert (ranks == 1).all()

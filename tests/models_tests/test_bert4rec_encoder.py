@@ -1,0 +1,143 @@
+"""Encoder network tests (contract parity with reference
+tests/models_tests/bert4rec_encoder_tests.py:25-400)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4rec_tpu.core.dtypes import DTypePolicy
+from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+
+
+def small_config(**kw):
+    defaults = dict(vocab_size=100, hidden_size=32, num_layers=3,
+                    num_attention_heads=4, inner_dim=64,
+                    max_sequence_length=21)
+    defaults.update(kw)
+    return BERT4RecConfig(**defaults)
+
+
+def make_inputs(batch=3, seq=21, vocab=100, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(3, vocab, size=(batch, seq)).astype(np.int32)
+    lengths = rng.integers(1, seq + 1, size=batch)
+    mask = (np.arange(seq)[None, :] < lengths[:, None]).astype(np.int32)
+    ids = ids * mask
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+class TestEncoder:
+
+    def test_output_shapes(self):
+        cfg = small_config()
+        enc = Bert4RecEncoder(cfg)
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+        out = enc.apply(params, ids, mask)
+        assert out["sequence_output"].shape == (3, 21, 32)
+        assert out["pooled_output"].shape == (3, 32)
+        assert len(out["encoder_outputs"]) == cfg.num_layers
+        for layer_out in out["encoder_outputs"]:
+            assert layer_out.shape == (3, 21, 32)
+
+    def test_all_encoder_outputs_distinct(self):
+        enc = Bert4RecEncoder(small_config())
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+        out = enc.apply(params, ids, mask)
+        a, b = out["encoder_outputs"][0], out["encoder_outputs"][-1]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_output_range_slices_last_layer(self):
+        enc = Bert4RecEncoder(small_config())
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+        full = enc.apply(params, ids, mask)
+        sliced = enc.apply(params, ids, mask, output_range=1)
+        assert sliced["sequence_output"].shape == (3, 1, 32)
+        np.testing.assert_allclose(
+            np.asarray(sliced["sequence_output"][:, 0]),
+            np.asarray(full["sequence_output"][:, 0]), rtol=2e-3, atol=2e-4)
+
+    def test_bf16_policy_dtypes(self):
+        enc = Bert4RecEncoder(small_config(), DTypePolicy.bf16())
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+        out = enc.apply(params, ids, mask)
+        assert out["sequence_output"].dtype == jnp.bfloat16
+        # params stay fp32
+        assert params["item_embeddings"]["embedding"].dtype == jnp.float32
+
+    def test_factorized_embedding_width(self):
+        cfg = small_config(embedding_width=16)
+        enc = Bert4RecEncoder(cfg)
+        params = enc.init(jax.random.key(0))
+        assert params["item_embeddings"]["embedding"].shape == (100, 16)
+        assert "embedding_projection" in params
+        ids, mask = make_inputs()
+        out = enc.apply(params, ids, mask)
+        assert out["sequence_output"].shape == (3, 21, 32)
+
+    def test_padding_does_not_affect_unpadded_positions(self):
+        """Bidirectional attention must ignore padded keys entirely."""
+        enc = Bert4RecEncoder(small_config())
+        params = enc.init(jax.random.key(0))
+        ids = jnp.asarray(np.full((1, 21), 7, np.int32))
+        mask = jnp.asarray((np.arange(21) < 5).astype(np.int32)[None])
+        ids = ids * mask
+        out1 = enc.apply(params, ids, mask)
+        # change content of padded region: outputs at real positions unchanged
+        ids2 = ids.at[0, 10:].set(50)
+        out2 = enc.apply(params, ids2, mask)
+        np.testing.assert_allclose(
+            np.asarray(out1["sequence_output"][0, :5]),
+            np.asarray(out2["sequence_output"][0, :5]), rtol=1e-5, atol=1e-5)
+
+    def test_dropout_only_when_training(self):
+        enc = Bert4RecEncoder(small_config(output_dropout=0.5))
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+        a = enc.apply(params, ids, mask, training=False)
+        b = enc.apply(params, ids, mask, training=False)
+        np.testing.assert_array_equal(np.asarray(a["sequence_output"]),
+                                      np.asarray(b["sequence_output"]))
+        c = enc.apply(params, ids, mask, training=True,
+                      rng=jax.random.key(1))
+        d = enc.apply(params, ids, mask, training=True,
+                      rng=jax.random.key(2))
+        assert not np.allclose(np.asarray(c["sequence_output"]),
+                               np.asarray(d["sequence_output"]))
+
+    def test_config_roundtrip(self):
+        cfg = small_config()
+        enc = Bert4RecEncoder(cfg)
+        enc2 = Bert4RecEncoder.from_config(enc.get_config())
+        assert enc2.config == cfg
+
+    def test_v1_alias_kwargs(self):
+        cfg = BERT4RecConfig.from_dict({
+            "vocab_size": 50, "num_hidden_layers": 2,
+            "intermediate_size": 64, "max_position_embeddings": 30,
+            "hidden_size": 32, "num_attention_heads": 2})
+        assert cfg.num_layers == 2
+        assert cfg.inner_dim == 64
+        assert cfg.max_sequence_length == 30
+
+    def test_invalid_head_split_raises(self):
+        with pytest.raises(ValueError):
+            small_config(hidden_size=30, num_attention_heads=4)
+
+    def test_jit_forward(self):
+        enc = Bert4RecEncoder(small_config())
+        params = enc.init(jax.random.key(0))
+        ids, mask = make_inputs()
+
+        @jax.jit
+        def fwd(p, i, m):
+            return enc.apply(p, i, m)["sequence_output"]
+
+        out = fwd(params, ids, mask)
+        ref = enc.apply(params, ids, mask)["sequence_output"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,0 +1,199 @@
+"""Trainer, optimizer and loss tests — incl. the convergence test the
+reference lacks (SURVEY.md §4 implications)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bert4rec_tpu.dataloaders.processed_dataset import MaskingConfig, ProcessedDataset
+from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+from bert4rec_tpu.trainers import (
+    BERT4RecTrainer, EarlyStopping, optimizers, trainer_utils, get as get_trainer,
+)
+from tests import test_utils
+
+VOCAB = 60
+
+
+def make_model():
+    cfg = BERT4RecConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                         num_attention_heads=4, inner_dim=64,
+                         max_sequence_length=16, max_predictions_per_seq=4)
+    return BERT4RecModel(config=cfg)
+
+
+def make_dataset(n=64, seed=0):
+    seqs = test_utils.generate_tokenized_dataset(
+        n_sequences=n, min_len=4, max_len=16, vocab_size=VOCAB, seed=seed)
+    cfg = MaskingConfig(max_seq_len=16, max_predictions_per_seq=4,
+                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                        masked_lm_rate=0.3)
+    return ProcessedDataset(seqs, cfg, lambda: VOCAB)
+
+
+class TestLossAndMetrics:
+
+    def test_masked_scce_ignores_pad(self):
+        logits = jnp.asarray(np.random.default_rng(0)
+                             .normal(size=(2, 3, 5)).astype(np.float32))
+        y = jnp.asarray([[1, 2, 0], [3, 0, 0]], dtype=jnp.int32)
+        loss = trainer_utils.masked_sparse_categorical_crossentropy(y, logits)
+        # manual: mean nll over the 3 non-pad entries
+        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        expected = -(logp[0, 0, 1] + logp[0, 1, 2] + logp[1, 0, 3]) / 3
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+    def test_masked_accuracy(self):
+        logits = np.full((1, 3, 4), -10.0, np.float32)
+        logits[0, 0, 2] = 10.0   # correct (label 2)
+        logits[0, 1, 0] = 10.0   # wrong (label 3)
+        logits[0, 2, 1] = 10.0   # pad position, ignored
+        y = jnp.asarray([[2, 3, 0]], dtype=jnp.int32)
+        acc = trainer_utils.masked_accuracy(y, jnp.asarray(logits))
+        np.testing.assert_allclose(float(acc), 0.5, rtol=1e-6)
+
+
+class TestOptimizerFactory:
+
+    def test_get_adamw(self):
+        opt = optimizers.get("adamw")
+        assert isinstance(opt, optax.GradientTransformation)
+
+    def test_get_passthrough_instance(self):
+        opt = optax.sgd(0.1)
+        assert optimizers.get(opt) is opt
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            optimizers.get("nope")
+
+    def test_schedule_warmup_then_decay(self):
+        sched = optimizers.create_warmup_poly_schedule(
+            1e-4, num_train_steps=1000, num_warmup_steps=100)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(50)), 0.5e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 0.9e-4, rtol=1e-6)
+        assert float(sched(1000)) == 0.0
+        # monotone decay after warmup
+        assert float(sched(200)) > float(sched(800))
+
+    def test_weight_decay_mask_excludes_norm_and_bias(self):
+        mask_fn = optimizers._weight_decay_mask(
+            optimizers.DEFAULT_EXCLUDE_FROM_WEIGHT_DECAY)
+        params = {
+            "layers": {"layer_0": {
+                "intermediate": {"kernel": jnp.zeros((2, 2)),
+                                 "bias": jnp.zeros((2,))},
+                "attention_norm": {"scale": jnp.zeros((2,)),
+                                   "bias": jnp.zeros((2,))},
+            }},
+        }
+        mask = mask_fn(params)
+        layer = mask["layers"]["layer_0"]
+        assert layer["intermediate"]["kernel"] is True
+        assert layer["intermediate"]["bias"] is False
+        assert layer["attention_norm"]["scale"] is False
+        assert layer["attention_norm"]["bias"] is False
+
+
+class TestTrainer:
+
+    def test_factory(self):
+        trainer = get_trainer("bert4rec", model=make_model())
+        assert isinstance(trainer, BERT4RecTrainer)
+        with pytest.raises(ValueError):
+            get_trainer("nope")
+
+    def test_append_callback(self):
+        trainer = BERT4RecTrainer(make_model())
+        with pytest.raises(ValueError):
+            trainer.append_callback(None)
+        cb = EarlyStopping()
+        trainer.append_callback(cb)
+        assert trainer.callbacks == [cb]
+
+    def test_train_step_decreases_loss(self):
+        """Convergence smoke test: loss after a few epochs < initial loss."""
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(
+            optimizer=optimizers.create_adam_w_optimizer(
+                init_lr=1e-2, num_train_steps=200, num_warmup_steps=5),
+            rng=jax.random.key(0))
+        ds = make_dataset()
+        history = trainer.train(ds, epochs=5, batch_size=32, verbose=False)
+        losses = history.history["loss"]
+        assert losses[-1] < losses[0]
+
+    def test_checkpoint_roundtrip_and_resume(self, tmp_path):
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=32)
+        trainer.train(ds, epochs=1, batch_size=16, verbose=False)
+        path = tmp_path / "ckpt.npz"
+        trainer.save_checkpoint(path)
+        step_before = int(trainer.state["step"])
+
+        trainer2 = BERT4RecTrainer(make_model())
+        trainer2.initialize_model(rng=jax.random.key(1))
+        trainer2.load_checkpoint(path)
+        assert int(trainer2.state["step"]) == step_before
+        # params identical after restore (incl. optimizer state round-trip)
+        for a, b in zip(jax.tree.leaves(trainer.state["params"]),
+                        jax.tree.leaves(trainer2.state["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(trainer.state["opt_state"]),
+                        jax.tree.leaves(trainer2.state["opt_state"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_validation_logs(self):
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        train = make_dataset(n=32, seed=0)
+        val = make_dataset(n=16, seed=1)
+        history = trainer.train(train, val, epochs=1, batch_size=16,
+                                verbose=False)
+        assert "val_loss" in history.history
+        assert "val_masked_accuracy" in history.history
+        assert 0.0 <= history.history["val_masked_accuracy"][0] <= 1.0
+
+    def test_checkpoint_callback_and_auto_resume(self, tmp_path):
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        train = make_dataset(n=32)
+        val = make_dataset(n=16, seed=1)
+        path = tmp_path / "best.npz"
+        trainer.train(train, val, checkpoint_path=path, epochs=2,
+                      batch_size=16, verbose=False)
+        assert path.is_file()
+        # new trainer resumes from it
+        trainer2 = BERT4RecTrainer(make_model())
+        trainer2.initialize_model(rng=jax.random.key(5))
+        trainer2.train(train, val, checkpoint_path=path, epochs=0,
+                       batch_size=16, verbose=False)
+        assert int(trainer2.state["step"]) > 0
+
+
+class TestTrainerSharded:
+
+    def test_train_step_on_mesh(self):
+        """DP+TP train step over the 8 virtual CPU devices."""
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(model_parallelism=2))
+        model = make_model()
+        trainer = BERT4RecTrainer(model, mesh=mesh)
+        trainer.initialize_model(rng=jax.random.key(0))
+        # embedding table is sharded over 'model'
+        emb = trainer.state["params"]["encoder"]["item_embeddings"]["embedding"]
+        assert emb.sharding.spec == jax.sharding.PartitionSpec("model", None)
+        mu = jax.tree.leaves(
+            trainer.state["opt_state"],
+            is_leaf=lambda x: hasattr(x, "sharding"))
+        ds = make_dataset(n=64)
+        history = trainer.train(ds, epochs=2, batch_size=32, verbose=False)
+        assert history.history["loss"][-1] < history.history["loss"][0] + 1.0
