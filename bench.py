@@ -21,8 +21,8 @@ BATCH = 256
 SEQ = 200
 NPRED = 40
 VOCAB = 3709  # ML-1M vocab + specials
-WARMUP_STEPS = 3
-MEASURE_STEPS_DEVICE = 30
+WARMUP_STEPS = 5
+MEASURE_STEPS_DEVICE = 100
 MEASURE_STEPS_CPU = 3
 
 
@@ -63,16 +63,17 @@ def make_batch(seed=0):
 def measure(trainer, steps):
     import jax
     batches = [make_batch(s) for s in range(4)]
-    # warmup / compile
+    # warmup / compile; device_get = hard host sync (block_until_ready is
+    # not a reliable barrier on the tunneled TPU platform)
     for i in range(WARMUP_STEPS):
         trainer.state, logs = trainer._train_step_fn(
             trainer.state, batches[i % len(batches)])
-    jax.block_until_ready(logs["loss"])
+    float(jax.device_get(logs["loss"]))
     t0 = time.perf_counter()
     for i in range(steps):
         trainer.state, logs = trainer._train_step_fn(
             trainer.state, batches[i % len(batches)])
-    jax.block_until_ready(logs["loss"])
+    float(jax.device_get(logs["loss"]))
     dt = time.perf_counter() - t0
     return BATCH * steps / dt
 
@@ -95,6 +96,11 @@ def run_cpu_baseline():
 
 def main():
     if "--cpu-worker" in sys.argv:
+        # the TPU plugin registers itself regardless of JAX_PLATFORMS;
+        # jax.config wins over it
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu"
         trainer = build()
         print("CPU_THROUGHPUT", measure(trainer, MEASURE_STEPS_CPU))
         return

@@ -20,6 +20,10 @@ class BaseDataloader(abc.ABC):
     def dataset_identifier(self) -> str:
         ...
 
+    def get_tokenizer(self):
+        """reference base_dataloader.py tokenizer accessor parity"""
+        return self.tokenizer
+
     @abc.abstractmethod
     def load_data(self, *args, **kwargs):
         ...

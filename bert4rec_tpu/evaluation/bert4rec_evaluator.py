@@ -70,13 +70,21 @@ class BERT4RecEvaluator(BaseEvaluator):
             self.sampler.set_sample_size(self.sample_size)
 
     def _rank_fn(self, model):
-        """One jitted computation: forward -> gather candidates -> gt rank."""
+        """One jitted computation: forward -> candidate logits -> gt rank.
+
+        Uses the candidate-only scoring path when the model provides it
+        (never materializing [B, P, V] full-vocab logits); falls back to
+        full logits + gather for duck-typed models.
+        """
         key = id(model)
         if key not in self._rank_fn_cache:
             def ranks(params, batch, candidates):
-                out = model.apply(params, batch)
-                logits = out["mlm_logits"]  # [B, P, V] fp32
-                cand = jnp.take_along_axis(logits, candidates, axis=-1)
+                if hasattr(model, "score_candidates"):
+                    cand = model.score_candidates(params, batch, candidates)
+                else:
+                    out = model.apply(params, batch)
+                    cand = jnp.take_along_axis(out["mlm_logits"], candidates,
+                                               axis=-1)
                 gt = cand[..., -1:]
                 beaten = jnp.sum((cand[..., :-1] >= gt).astype(jnp.int32),
                                  axis=-1)
@@ -104,6 +112,20 @@ class BERT4RecEvaluator(BaseEvaluator):
         weights = np.asarray(batch["masked_lm_weights"])
         b, p = positions.shape
         valid = weights > 0
+
+        # masked slots fill in ascending order, so valid slots are a prefix
+        # per row: slice P down to the max used (1 for the LOO protocol)
+        p_used = max(int(valid.sum(axis=1).max(initial=0)), 1)
+        if p_used < p:
+            positions = positions[:, :p_used]
+            gt_ids = gt_ids[:, :p_used]
+            weights = weights[:, :p_used]
+            valid = valid[:, :p_used]
+            batch = dict(batch)
+            batch["masked_lm_positions"] = positions
+            batch["masked_lm_ids"] = gt_ids
+            batch["masked_lm_weights"] = weights
+            p = p_used
 
         # exclusion set per masked position: the sequence's labels + gt
         # (reference :90-95; gt is itself a label so the set is per-sequence)

@@ -77,17 +77,37 @@ class BERT4RecModel:
         full table.
         """
         compute_dtype = self.dtype_policy.compute_dtype
-        x = jnp.take_along_axis(
-            sequence_output, masked_lm_positions[..., None].astype(jnp.int32),
-            axis=1)  # [B, P, H]
-        x = L.dense(params["mlm"]["transform"], x, compute_dtype)
-        x = L.get_activation(self.config.inner_activation)(x)
-        x = L.layer_norm(params["mlm"]["transform_norm"], x)
-
+        x = self.mlm_transform(params, sequence_output, masked_lm_positions)
         table = Bert4RecEncoder.get_embedding_table(params["encoder"])
         logits = jnp.einsum("bpw,vw->bpv", x, table.astype(compute_dtype),
                             preferred_element_type=jnp.float32)
         return logits + params["mlm"]["output_bias"]
+
+    def mlm_transform(self, params: dict, sequence_output: jnp.ndarray,
+                      masked_lm_positions: jnp.ndarray) -> jnp.ndarray:
+        """Gather masked positions and apply the MLM transform -> [B, P, W]
+        (everything of the head except the tied-table matmul)."""
+        compute_dtype = self.dtype_policy.compute_dtype
+        x = jnp.take_along_axis(
+            sequence_output, masked_lm_positions[..., None].astype(jnp.int32),
+            axis=1)
+        x = L.dense(params["mlm"]["transform"], x, compute_dtype)
+        x = L.get_activation(self.config.inner_activation)(x)
+        return L.layer_norm(params["mlm"]["transform_norm"], x)
+
+    def score_candidates(self, params: dict, inputs: dict,
+                         candidates: jnp.ndarray) -> jnp.ndarray:
+        """Candidate-only MLM logits ``[B, P, C]`` — never materializes the
+        ``[B, P, V]`` full-vocab logits (the eval hot path; see
+        ops/candidate_scoring.py)."""
+        from bert4rec_tpu.ops import candidate_scoring
+        outputs = self.encoder.apply(
+            params["encoder"], inputs["input_word_ids"], inputs["input_mask"])
+        hidden = self.mlm_transform(params, outputs["sequence_output"],
+                                    inputs["masked_lm_positions"])
+        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+        return candidate_scoring.score_candidates(
+            hidden, table, params["mlm"]["output_bias"], candidates)
 
     def apply(self, params: dict, inputs: dict, *,
               training: bool = False,

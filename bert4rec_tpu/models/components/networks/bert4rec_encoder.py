@@ -120,7 +120,9 @@ class Bert4RecEncoder:
                 training=training,
                 norm_first=cfg.norm_first,
                 compute_dtype=compute_dtype,
-                query_range=output_range if is_last else None)
+                query_range=output_range if is_last else None,
+                use_flash=cfg.use_flash_attention,
+                input_mask=input_mask)
             encoder_outputs.append(x)
 
         sequence_output = encoder_outputs[-1]

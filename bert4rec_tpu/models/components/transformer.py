@@ -49,8 +49,14 @@ def init_transformer_block(rng, hidden_size: int, num_heads: int,
 def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
                num_heads: int, *, rng, attention_dropout: float,
                training: bool, compute_dtype,
-               query_range: Optional[int] = None) -> jnp.ndarray:
-    """Multi-head self-attention with additive mask bias [B,1,1,S]."""
+               query_range: Optional[int] = None,
+               use_flash: bool = False,
+               input_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Multi-head self-attention with additive mask bias [B,1,1,S].
+
+    With ``use_flash`` (and no attention dropout active, no query slicing),
+    dispatches to the fused Pallas kernel (ops/flash_attention.py).
+    """
     head_dim = params["qkv"]["kernel"].shape[-1]
     qkv_kernel = params["qkv"]["kernel"].astype(compute_dtype)
     qkv_bias = params["qkv"]["bias"].astype(compute_dtype)
@@ -66,6 +72,20 @@ def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
                        preferred_element_type=compute_dtype) \
             + qkv_bias[0][None, None]
     k, v = kv[1], kv[2]
+
+    flash_ok = (use_flash and query_range is None and input_mask is not None
+                and not (training and attention_dropout > 0.0))
+    if flash_ok:
+        from bert4rec_tpu.ops.flash_attention import (
+            flash_attention as fused_attention,
+        )
+        context = fused_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), input_mask).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bqnd,ndh->bqh", context.astype(compute_dtype),
+                         params["output"]["kernel"].astype(compute_dtype),
+                         preferred_element_type=compute_dtype)
+        return out + params["output"]["bias"].astype(compute_dtype)
 
     scale = 1.0 / math.sqrt(head_dim)
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
@@ -91,7 +111,9 @@ def transformer_block(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
                       training: bool = False,
                       norm_first: bool = False,
                       compute_dtype=jnp.float32,
-                      query_range: Optional[int] = None) -> jnp.ndarray:
+                      query_range: Optional[int] = None,
+                      use_flash: bool = False,
+                      input_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     rngs = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
 
     residual = x if query_range is None else x[:, :query_range]
@@ -99,7 +121,8 @@ def transformer_block(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
     attn_out = _attention(
         params["attention"], attn_in, attn_bias, num_heads,
         rng=rngs[0], attention_dropout=attention_dropout, training=training,
-        compute_dtype=compute_dtype, query_range=query_range)
+        compute_dtype=compute_dtype, query_range=query_range,
+        use_flash=use_flash, input_mask=input_mask)
     attn_out = L.dropout(rngs[1], attn_out, output_dropout, training)
     if norm_first:
         y = residual + attn_out

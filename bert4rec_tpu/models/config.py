@@ -48,6 +48,9 @@ class BERT4RecConfig:
     # (reference bert4rec_encoder.py:124-131)
     embedding_width: Optional[int] = None
     norm_first: bool = False
+    # use the fused Pallas attention kernel (ops/flash_attention.py) when
+    # attention dropout is inactive; XLA attention otherwise
+    use_flash_attention: bool = False
     # training-time feature contract
     max_predictions_per_seq: int = 40
 

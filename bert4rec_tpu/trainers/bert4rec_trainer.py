@@ -158,7 +158,9 @@ class BERT4RecTrainer(BaseTrainer):
               steps_per_epoch: Optional[int] = None,
               validation_steps: Optional[int] = None,
               seed: int = 42,
-              verbose: bool = True) -> History:
+              verbose: bool = True,
+              profile_dir: Optional[str] = None,
+              profile_steps: int = 5) -> History:
         """Epoch loop over a :class:`ProcessedDataset` (fresh masks per
         epoch), with best-checkpointing + resume
         (reference train, bert4rec_trainer.py:37-68)."""
@@ -183,6 +185,11 @@ class BERT4RecTrainer(BaseTrainer):
         for cb in callbacks:
             cb.on_train_begin(self)
 
+        # jax.profiler capture of steps [1, 1+profile_steps) of epoch 0
+        # (step 0 includes compilation)
+        profiling = False
+        global_step = 0
+
         for epoch in range(epochs):
             t0 = time.time()
             sums, count = {}, 0
@@ -192,7 +199,15 @@ class BERT4RecTrainer(BaseTrainer):
                                           drop_remainder=True):
                 n_examples += len(next(iter(batch.values())))
                 batch = self._put_batch(batch)
+                if profile_dir is not None:
+                    if global_step == 1 and not profiling:
+                        jax.profiler.start_trace(str(profile_dir))
+                        profiling = True
+                    elif profiling and global_step == 1 + profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
                 self.state, logs = self._train_step_fn(self.state, batch)
+                global_step += 1
                 count += 1
                 for k, v in logs.items():
                     sums[k] = sums.get(k, 0.0) + v
@@ -219,6 +234,8 @@ class BERT4RecTrainer(BaseTrainer):
             if stop:
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         for cb in callbacks:
             cb.on_train_end(self)
         return history

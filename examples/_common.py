@@ -1,0 +1,75 @@
+"""Shared scaffolding for the example scripts.
+
+The per-dataset training examples differ only in dataloader + config name +
+a few hyperparameters (mirroring the reference's examples/, e.g.
+bert4rec_ml_1m_example.py:14-95); this module holds the one shared flow.
+"""
+
+import pathlib
+
+import jax
+
+from bert4rec_tpu import config as config_pkg
+from bert4rec_tpu import trainers
+from bert4rec_tpu.dataloaders import get_dataloader_factory
+from bert4rec_tpu.evaluation import BERT4RecEvaluator
+from bert4rec_tpu.models import (
+    BERT4RecConfig, BERT4RecModel, BERT4RecModelWrapper, model_utils,
+)
+from bert4rec_tpu.trainers.callbacks import EarlyStopping
+
+
+def run_training_example(dataset: str,
+                         encoder_config: str,
+                         epochs: int = 150,
+                         batch_size: int = 256,
+                         input_duplication_factor: int = 5,
+                         finetuning_split: float = 0.1,
+                         early_stopping_patience: int = 20,
+                         save_name: str = None,
+                         dataloader_kwargs: dict = None,
+                         seed: int = 42):
+    """Full train -> evaluate -> save flow for one dataset."""
+    factory = get_dataloader_factory("bert4rec")
+    create = getattr(factory, f"create_{dataset}_dataloader")
+    dataloader = create(input_duplication_factor=input_duplication_factor,
+                        **(dataloader_kwargs or {}))
+
+    train_ds, val_ds, test_ds = dataloader.prepare_training(
+        finetuning_split=finetuning_split)
+    tokenizer = dataloader.get_tokenizer()
+
+    config = config_pkg.load_train_config(
+        encoder_config, vocab_size=tokenizer.get_vocab_size())
+    model = BERT4RecModel(config=config)
+    wrapper = BERT4RecModelWrapper(model)
+
+    trainer = trainers.get("bert4rec", model=model)
+    trainer.initialize_model(rng=jax.random.key(seed))
+    trainer.append_callback(EarlyStopping(monitor="val_loss",
+                                          patience=early_stopping_patience))
+
+    save_path = model_utils.determine_model_path(
+        pathlib.Path(save_name or f"bert4rec_{dataset}"))
+    checkpoint_path = save_path / "checkpoints" / "best.npz"
+
+    wrapper.update_meta({
+        "EPOCHS": epochs,
+        "input_duplication_factor": input_duplication_factor,
+        "finetuning_split": finetuning_split,
+        "early_stopping_patience": early_stopping_patience,
+    })
+
+    trainer.train(train_ds, val_ds, checkpoint_path=checkpoint_path,
+                  epochs=epochs, batch_size=batch_size, seed=seed)
+    trainer.update_wrapper_meta_info(wrapper, dataloader)
+    wrapper.update_params(trainer.params)
+
+    evaluator = BERT4RecEvaluator(dataloader=dataloader)
+    metrics = evaluator.evaluate(model, trainer.params, test_ds,
+                                 batch_size=batch_size)
+    evaluator.save_results(save_path)
+    print(metrics)
+
+    wrapper.save(save_path=save_path, tokenizer=tokenizer, mode=2)
+    return wrapper, metrics

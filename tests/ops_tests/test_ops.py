@@ -1,0 +1,130 @@
+"""Pallas kernel parity tests (interpret mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4rec_tpu.ops import (
+    flash_attention, mha_reference, score_candidates,
+    score_candidates_reference,
+)
+
+B, N, S, D = 2, 4, 24, 16
+
+
+def make_qkv(seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, S, D)).astype(np.float32),
+                           dtype=dtype) for _ in range(3))
+    lengths = rng.integers(4, S + 1, size=B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None])
+                       .astype(np.int32))
+    return q, k, v, mask
+
+
+class TestFlashAttention:
+
+    def test_matches_reference(self):
+        q, k, v, mask = make_qkv()
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_matches_reference(self):
+        q, k, v, mask = make_qkv(dtype=jnp.bfloat16)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(ref, dtype=np.float32), rtol=5e-2, atol=5e-2)
+
+    def test_gradient_flows(self):
+        q, k, v, mask = make_qkv()
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, mask, interpret=True))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, mask))
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_long_sequence_falls_back(self):
+        rng = np.random.default_rng(0)
+        s = 2048  # > MAX_FUSED_SEQ_LEN
+        q = k = v = jnp.asarray(rng.normal(size=(1, 1, s, 8))
+                                .astype(np.float32))
+        mask = jnp.ones((1, s), jnp.int32)
+        out = flash_attention(q, k, v, mask)
+        ref = mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestCandidateScoring:
+
+    def test_matches_full_vocab_gather(self):
+        rng = np.random.default_rng(0)
+        b, p, c, v, w = 3, 5, 11, 64, 16
+        hidden = jnp.asarray(rng.normal(size=(b, p, w)).astype(np.float32))
+        table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+        candidates = jnp.asarray(rng.integers(0, v, size=(b, p, c))
+                                 .astype(np.int32))
+        out = score_candidates(hidden, table, bias, candidates)
+        ref = score_candidates_reference(hidden, table, bias, candidates)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestModelIntegration:
+
+    def test_score_candidates_matches_apply(self):
+        from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+        cfg = BERT4RecConfig(vocab_size=80, hidden_size=32, num_layers=2,
+                             num_attention_heads=4, inner_dim=64,
+                             max_sequence_length=12,
+                             max_predictions_per_seq=3)
+        model = BERT4RecModel(config=cfg)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_word_ids": jnp.asarray(
+                rng.integers(3, 80, size=(2, 12)).astype(np.int32)),
+            "input_mask": jnp.ones((2, 12), jnp.int32),
+            "masked_lm_positions": jnp.asarray(
+                [[1, 4, 7], [0, 3, 9]], dtype=jnp.int32),
+        }
+        candidates = jnp.asarray(rng.integers(3, 80, size=(2, 3, 7))
+                                 .astype(np.int32))
+        cand_logits = model.score_candidates(params, batch, candidates)
+        full = model.apply(params, batch)["mlm_logits"]
+        expected = np.take_along_axis(np.asarray(full),
+                                      np.asarray(candidates), axis=-1)
+        np.testing.assert_allclose(np.asarray(cand_logits), expected,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_flash_encoder_matches_xla_encoder(self):
+        from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+        kw = dict(vocab_size=60, hidden_size=32, num_layers=2,
+                  num_attention_heads=4, inner_dim=64,
+                  max_sequence_length=16)
+        enc_xla = Bert4RecEncoder(BERT4RecConfig(**kw))
+        enc_flash = Bert4RecEncoder(
+            BERT4RecConfig(use_flash_attention=True, **kw))
+        params = enc_xla.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 60, size=(2, 16)).astype(np.int32))
+        mask = jnp.asarray((np.arange(16)[None, :] < np.array([[16], [9]]))
+                           .astype(np.int32))
+        out_xla = enc_xla.apply(params, ids * mask, mask)
+        out_flash = enc_flash.apply(params, ids * mask, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_flash["sequence_output"]),
+            np.asarray(out_xla["sequence_output"]), rtol=2e-4, atol=2e-4)
