@@ -28,15 +28,18 @@ MEASURE_STEPS_CPU = 3
 
 def build(model_cfg_overrides=None):
     import jax
-    from bert4rec_tpu.core.dtypes import DTypePolicy
+    from bert4rec_tpu.core.dtypes import DTypePolicy, enable_fast_prng
+    enable_fast_prng()
     from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
-    config = BERT4RecConfig(
+    cfg_kwargs = dict(
         vocab_size=VOCAB, hidden_size=128, num_layers=2,
         num_attention_heads=4, inner_dim=512, max_sequence_length=SEQ,
         attention_dropout=0.2, output_dropout=0.5,
-        max_predictions_per_seq=NPRED, **(model_cfg_overrides or {}))
+        max_predictions_per_seq=NPRED)
+    cfg_kwargs.update(model_cfg_overrides or {})
+    config = BERT4RecConfig(**cfg_kwargs)
     model = BERT4RecModel(config=config, dtype_policy=DTypePolicy.bf16())
     trainer = BERT4RecTrainer(model)
     trainer.initialize_model(

@@ -60,6 +60,46 @@ class ProcessedDataset:
             finetuning = np.full(len(self.sequences), bool(finetuning))
         self.finetuning = np.asarray(finetuning, dtype=bool)
         self.timestamps = timestamps
+        self._build_cache()
+
+    def _build_cache(self):
+        """Pad every sequence once at construction time.
+
+        Per-epoch work then reduces to a memcpy + vectorized masking; only
+        over-long NON-finetuning rows get a fresh random window each epoch
+        (finetuning/eval rows use the deterministic tail window, cached
+        here). This is what lets the host pipeline outrun the chip
+        (SURVEY.md §7 hard part 4).
+        """
+        cfg = self.config
+        n, s = len(self.sequences), cfg.max_seq_len
+        self._cache_ids = np.full((n, s), cfg.pad_token_id, dtype=np.int32)
+        self._cache_len = np.zeros(n, dtype=np.int32)
+        self._cache_ts = (np.zeros((n, s), dtype=np.int64)
+                          if self.timestamps is not None else None)
+        long_rows = []
+        for i, seq in enumerate(self.sequences):
+            ln = len(seq)
+            if ln <= s:
+                self._cache_ids[i, :ln] = seq
+                self._cache_len[i] = ln
+                if self._cache_ts is not None:
+                    self._cache_ts[i, :ln] = np.asarray(
+                        self.timestamps[i])[:ln]
+            else:
+                self._cache_len[i] = s
+                if self.finetuning[i]:
+                    self._cache_ids[i] = seq[-s:]  # tail window, fixed
+                    if self._cache_ts is not None:
+                        self._cache_ts[i] = np.asarray(
+                            self.timestamps[i])[-s:]
+                else:
+                    self._cache_ids[i] = seq[:s]   # refreshed per epoch
+                    if self._cache_ts is not None:
+                        self._cache_ts[i] = np.asarray(
+                            self.timestamps[i])[:s]
+                    long_rows.append(i)
+        self._long_rows = np.asarray(long_rows, dtype=np.int64)
 
     def __len__(self) -> int:
         return len(self.sequences)
@@ -90,33 +130,35 @@ class ProcessedDataset:
         """
         cfg = self.config
         rng = np.random.default_rng(seed)
+
+        # refresh the random crop window of over-long training rows
+        # (reference bert4rec_preprocessor.py:59-67; aligned with timestamps)
+        for i in self._long_rows:
+            seq = self.sequences[i]
+            start = int(rng.integers(0, len(seq) - cfg.max_seq_len + 1))
+            self._cache_ids[i] = seq[start:start + cfg.max_seq_len]
+            if self._cache_ts is not None:
+                self._cache_ts[i] = np.asarray(
+                    self.timestamps[i])[start:start + cfg.max_seq_len]
+
         if indices is None:
-            seqs = self.sequences
+            input_ids = self._cache_ids.copy()
+            lengths = self._cache_len
             ft = self.finetuning
-            ts = self.timestamps
+            ts_pad = self._cache_ts
         else:
-            seqs = [self.sequences[i] for i in indices]
+            input_ids = self._cache_ids[indices]
+            lengths = self._cache_len[indices]
             ft = self.finetuning[indices]
-            ts = ([self.timestamps[i] for i in indices]
-                  if self.timestamps is not None else None)
-
-        # truncate: random window for training rows, tail for finetuning rows
-        # (reference bert4rec_preprocessor.py:59-67). Windows must stay aligned
-        # with timestamps, so compute starts once.
-        starts = np.zeros(len(seqs), dtype=np.int64)
-        for i, s in enumerate(seqs):
-            over = len(s) - cfg.max_seq_len
-            if over > 0:
-                starts[i] = over if ft[i] else rng.integers(0, over + 1)
-        trunc = [s[st:st + cfg.max_seq_len] for s, st in zip(seqs, starts)]
-
-        input_ids, lengths = utils.pad_sequences(
-            trunc, cfg.max_seq_len, cfg.pad_token_id)
+            ts_pad = (self._cache_ts[indices]
+                      if self._cache_ts is not None else None)
         input_mask = (np.arange(cfg.max_seq_len)[None, :]
                       < lengths[:, None]).astype(np.int32)
 
+        # input_ids is already a private copy (cache .copy()/fancy index) and
+        # masking produces a new array, so labels can alias it safely
         features = {
-            "labels": input_ids.copy(),
+            "labels": input_ids,
             "input_word_ids": input_ids,
             "input_mask": input_mask,
         }
@@ -132,11 +174,7 @@ class ProcessedDataset:
                 finetuning=ft)
             features.update(masked)
 
-        if ts is not None:
-            ts_trunc = [np.asarray(t)[st:st + cfg.max_seq_len]
-                        for t, st in zip(ts, starts)]
-            ts_pad, _ = utils.pad_sequences(ts_trunc, cfg.max_seq_len, 0,
-                                            dtype=np.int64)
+        if ts_pad is not None:
             features["input_timestamps"] = ts_pad
 
         return features
