@@ -14,9 +14,11 @@ sharding annotations.
 """
 
 import re
+import warnings
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bert4rec_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
@@ -35,25 +37,50 @@ def _path_str(path) -> str:
         str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
+def _spec_for_leaf(path, leaf) -> P:
+    p = _path_str(path)
+    for rule, spec in _RULES:
+        if rule.search(p):
+            if len(spec) > getattr(leaf, "ndim", 0):
+                # scalar / lower-rank leaf that matched by name
+                return P(*spec[: leaf.ndim])
+            return spec
+    return P()
+
+
 def param_partition_specs(params: Any) -> Any:
     """Map a param pytree to a pytree of PartitionSpecs by path."""
-    def spec_for(path, leaf):
-        p = _path_str(path)
-        for rule, spec in _RULES:
-            if rule.search(p):
-                if len(spec) > getattr(leaf, "ndim", 0):
-                    # scalar / lower-rank leaf that matched by name
-                    return P(*spec[: leaf.ndim])
-                return spec
-        return P()
+    return jax.tree_util.tree_map_with_path(_spec_for_leaf, params)
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+def _shardable(mesh: Mesh, shape, spec: P) -> bool:
+    for dim, axes in enumerate(spec):
+        if axes is None:
+            continue
+        axes = (axes,) if isinstance(axes, str) else axes
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        if dim >= len(shape) or shape[dim] % size != 0:
+            return False
+    return True
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:
-    specs = param_partition_specs(params)
-    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                        is_leaf=lambda x: isinstance(x, P))
+    """Path rules -> NamedShardings, replicating any leaf whose sharded dims
+    are not divisible by the mesh axis (e.g. a 43-item vocab on a 2-way
+    'model' axis) — pad the vocab via ``BERT4RecConfig.vocab_pad_to`` to
+    actually shard it."""
+    def to_sharding(path, leaf):
+        spec = _spec_for_leaf(path, leaf)
+        shape = getattr(leaf, "shape", ())
+        if not _shardable(mesh, shape, spec):
+            warnings.warn(
+                f"Parameter {_path_str(path)} of shape {shape} cannot be "
+                f"sharded as {spec} on mesh {dict(mesh.shape)}; replicating. "
+                f"Pad the dimension (e.g. vocab_pad_to) to shard it.")
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
 def make_batch_specs(batch: Any) -> Any:

@@ -42,7 +42,11 @@ class BERT4RecEvaluator(BaseEvaluator):
                  sampler="pop_random",
                  dataloader=None,
                  sample_size: int = 100,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batches and candidate
+        tensors are sharded over its 'data' axis so the scoring forward runs
+        data-parallel across chips (rank reduction stays on host)."""
         sampler_config = {"sample_size": sample_size}
         if seed is not None:
             sampler_config["seed"] = seed
@@ -50,6 +54,7 @@ class BERT4RecEvaluator(BaseEvaluator):
                          sampler, dataloader, sampler_config)
         self.sample_size = sample_size
         self.seed = seed
+        self.mesh = mesh
         self._rank_fn_cache = {}
 
     # ------------------------------------------------------------------ #
@@ -142,9 +147,21 @@ class BERT4RecEvaluator(BaseEvaluator):
         candidates[rows, cols, :-1] = negatives
         candidates[..., -1] = gt_ids  # ground truth last (reference :101-104)
 
-        feature_batch = {k: v for k, v in batch.items() if k != "labels"}
+        feature_batch = {k: v for k, v in batch.items()
+                         if k not in ("labels", "example_weights")}
+        candidates = jnp.asarray(candidates)
+        if self.mesh is not None:
+            from bert4rec_tpu.core import partitioning
+            shard = {k: jax.sharding.NamedSharding(
+                self.mesh, partitioning.make_batch_specs(
+                    {"x": np.asarray(v)})["x"])
+                for k, v in feature_batch.items()}
+            feature_batch = jax.device_put(feature_batch, shard)
+            candidates = jax.device_put(
+                candidates, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("data")))
         ranks = np.asarray(self._rank_fn(model)(
-            params, feature_batch, jnp.asarray(candidates)))
+            params, feature_batch, candidates))
         return ranks[valid]
 
     def evaluate(self, model, params=None, test_ds=None,
@@ -158,8 +175,10 @@ class BERT4RecEvaluator(BaseEvaluator):
         self._prepare_sampler()
 
         if hasattr(test_ds, "batches"):
+            # a mesh needs device-divisible batches: zero-pad the final one
+            # (padded rows carry weight 0 and never reach the metrics)
             batches = test_ds.batches(batch_size, shuffle=False, seed=seed,
-                                      pad_final_batch=False)
+                                      pad_final_batch=self.mesh is not None)
         else:
             batches = test_ds
         iterator = batches

@@ -61,7 +61,7 @@ class BERT4RecModel:
                                       cfg.table_width,
                                       cfg.initializer_range),
             "transform_norm": L.init_layer_norm(cfg.table_width),
-            "output_bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+            "output_bias": jnp.zeros((cfg.padded_vocab_size,), jnp.float32),
         }
         return {"encoder": encoder_params, "mlm": mlm_params}
 
@@ -81,7 +81,13 @@ class BERT4RecModel:
         table = Bert4RecEncoder.get_embedding_table(params["encoder"])
         logits = jnp.einsum("bpw,vw->bpv", x, table.astype(compute_dtype),
                             preferred_element_type=jnp.float32)
-        return logits + params["mlm"]["output_bias"]
+        logits = logits + params["mlm"]["output_bias"]
+        if self.config.padded_vocab_size > self.config.vocab_size:
+            # vocab-padding ids (rows added for 'model'-axis divisibility)
+            # must never win a ranking or soak up softmax mass
+            col = jnp.arange(self.config.padded_vocab_size)
+            logits = jnp.where(col >= self.config.vocab_size, -1e9, logits)
+        return logits
 
     def mlm_transform(self, params: dict, sequence_output: jnp.ndarray,
                       masked_lm_positions: jnp.ndarray) -> jnp.ndarray:

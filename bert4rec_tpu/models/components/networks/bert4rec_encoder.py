@@ -49,7 +49,7 @@ class Bert4RecEncoder:
 
         params = {
             "item_embeddings": L.init_embedding(
-                keys[0], cfg.vocab_size, cfg.table_width, stddev),
+                keys[0], cfg.padded_vocab_size, cfg.table_width, stddev),
             "position_embeddings": L.init_position_embedding(
                 keys[1], cfg.max_sequence_length, cfg.table_width, stddev),
             "embedding_norm": L.init_layer_norm(cfg.table_width),

@@ -73,15 +73,22 @@ def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
             + qkv_bias[0][None, None]
     k, v = kv[1], kv[2]
 
-    flash_ok = (use_flash and query_range is None and input_mask is not None
-                and not (training and attention_dropout > 0.0))
+    flash_ok = use_flash and query_range is None and input_mask is not None
     if flash_ok:
         from bert4rec_tpu.ops.flash_attention import (
             flash_attention as fused_attention,
         )
+        rate = attention_dropout if training else 0.0
+        seed = None
+        if rate > 0.0:
+            if rng is None:
+                rate = 0.0
+            else:
+                seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
         context = fused_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), input_mask).transpose(0, 2, 1, 3)
+            v.transpose(0, 2, 1, 3), input_mask,
+            dropout_rate=rate, seed=seed).transpose(0, 2, 1, 3)
         out = jnp.einsum("bqnd,ndh->bqh", context.astype(compute_dtype),
                          params["output"]["kernel"].astype(compute_dtype),
                          preferred_element_type=compute_dtype)

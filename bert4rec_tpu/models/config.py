@@ -51,6 +51,10 @@ class BERT4RecConfig:
     # use the fused Pallas attention kernel (ops/flash_attention.py) when
     # attention dropout is inactive; XLA attention otherwise
     use_flash_attention: bool = False
+    # round the embedding-table / output-bias vocab dimension up to a
+    # multiple of this, so it divides the 'model' mesh axis for vocab
+    # sharding; logits of padding ids are masked to -1e9
+    vocab_pad_to: Optional[int] = None
     # training-time feature contract
     max_predictions_per_seq: int = 40
 
@@ -68,6 +72,14 @@ class BERT4RecConfig:
     def table_width(self) -> int:
         """Width of the item-embedding table (embedding_width if factorized)."""
         return self.embedding_width or self.hidden_size
+
+    @property
+    def padded_vocab_size(self) -> int:
+        """Row count of the embedding table / output bias (>= vocab_size)."""
+        if not self.vocab_pad_to:
+            return self.vocab_size
+        m = self.vocab_pad_to
+        return ((self.vocab_size + m - 1) // m) * m
 
     # ------------------------------------------------------------------ #
 

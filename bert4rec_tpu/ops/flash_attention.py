@@ -1,18 +1,22 @@
-"""Fused masked self-attention Pallas kernel.
+"""Fused masked self-attention Pallas kernels (forward AND backward).
 
-For the shipped BERT4Rec shapes (S <= 200, D <= 64) a whole (batch, head)
-attention problem fits in VMEM, so the kernel is a single-block fusion:
-QK^T, pad-mask bias, softmax and PV never touch HBM — one HBM read per
-operand, one write of the output. That is the speed-of-light data movement
-for this op; XLA's unfused path materializes the [B,N,S,S] score tensor.
+Why: XLA's unfused attention materializes the [B, N, S, S] score tensor,
+its softmax, and the dropout mask in HBM — on the shipped BERT4Rec shapes
+that S^2 traffic dominates the train step (XLA cost analysis: 17.4 GB
+accessed/step at B=256, S=200; the step is HBM-bound at ~5% MXU
+utilization). For S <= 200 a whole (batch, head) attention problem fits in
+VMEM, so both passes run as single-block fusions:
 
-Longer sequences (or platforms without Mosaic) fall back to the identical
-XLA reference implementation. The backward pass reuses the XLA reference via
-``jax.custom_vjp`` — the kernel accelerates forward/eval/serving, training
-gradients recompute with XLA (which fuses well on the backward too).
+- forward: QK^T, pad-mask bias, fp32 softmax, in-kernel dropout
+  (``pltpu.prng_random_bits``, seeded per (batch, head) cell) and PV —
+  HBM sees only q, k, v in and O out;
+- backward: flash-style recompute — P and the SAME dropout mask are
+  regenerated from q, k, v and the seed, then dV/dP/dS/dQ/dK are formed
+  entirely in VMEM. No residual S^2 tensor is ever stored.
 
-Layout: q, k, v are ``[B, N, S, D]``; ``mask`` is ``[B, S]`` (1 = real
-token). Scores/softmax accumulate fp32 regardless of input dtype.
+Longer sequences or non-TPU platforms fall back to the identical-math XLA
+reference. Layout: q, k, v are ``[B, N, S, D]``; ``mask`` is ``[B, S]``
+(1 = real key); softmax/score accumulation is fp32 regardless of IO dtype.
 """
 
 import functools
@@ -28,96 +32,220 @@ NEG_INF = -1e9
 MAX_FUSED_SEQ_LEN = 1024
 
 
+# --------------------------------------------------------------------------- #
+# XLA reference (fallback + numerics oracle)
+# --------------------------------------------------------------------------- #
+
 def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  mask: jnp.ndarray) -> jnp.ndarray:
-    """XLA reference: identical math, used as fallback and backward."""
+                  mask: jnp.ndarray,
+                  dropout_rate: float = 0.0,
+                  dropout_rng=None) -> jnp.ndarray:
+    """Identical math in plain XLA. Dropout (if any) uses the jax PRNG —
+    same distribution as the kernel, different stream."""
     d = q.shape[-1]
     scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(d)
     bias = jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF)
     probs = jax.nn.softmax(scores + bias, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bnqk,bnkd->bnqd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    q = q_ref[0, 0]          # [S, D]
-    k = k_ref[0, 0]          # [S, D]
-    v = v_ref[0, 0]          # [S, D]
-    mask = mask_ref[0]       # [S]
+# --------------------------------------------------------------------------- #
+# kernels
+# --------------------------------------------------------------------------- #
 
-    scores = jax.lax.dot_general(
+def _dropout_keep_scale(shape, rate):
+    """Regenerate the in-kernel dropout multiplier: keep/(1-rate) or 0.
+
+    Caller must have seeded the PRNG. Threshold compare on raw uint32 bits
+    keeps everything integer until the final select.
+    """
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _probs(q, k, mask, scale):
+    """fp32 softmax(q k^T * scale + pad bias) for one (batch, head) cell."""
+    s_mat = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [S, S]
-    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)[None, :]
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32) * scale          # [S, S]
+    s_mat = s_mat + jnp.where(mask > 0, 0.0, NEG_INF)[None, :]
+    m = jnp.max(s_mat, axis=-1, keepdims=True)
+    p = jnp.exp(s_mat - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _seed_cell(seed_ref):
+    """Unique PRNG stream per (batch, head) grid cell."""
+    b, n = pl.program_id(0), pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + n)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                scale, dropout_rate):
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    p = _probs(q, k, mask_ref[pl.program_id(0)], scale)
+    if dropout_rate > 0.0:
+        _seed_cell(seed_ref)
+        p = p * _dropout_keep_scale(p.shape, dropout_rate)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) / denom
+        preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _flash_attention_forward(q, k, v, mask, interpret=False):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate):
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    p = _probs(q, k, mask_ref[pl.program_id(0)], scale)       # [S, S] fp32
+    if dropout_rate > 0.0:
+        _seed_cell(seed_ref)
+        keep = _dropout_keep_scale(p.shape, dropout_rate)
+        d_mat = p * keep
+    else:
+        keep = None
+        d_mat = p
+
+    # dV = D^T dO
+    dv = jax.lax.dot_general(
+        d_mat.astype(v.dtype), do.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dD = dO V^T ; dP = dD * keep
+    dd = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = dd * keep if keep is not None else dd
+    # softmax jacobian: dS = P * (dP - rowsum(dP * P))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds.astype(q.dtype)
+    # dQ = dS K * scale ; dK = dS^T Q * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _cell_specs(b, s, d):
+    # index maps take (*grid_ids, *scalar_prefetch_refs). The mask is loaded
+    # whole (TPU tiling forbids a (1, S) block) and indexed by program_id.
+    qkv = pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((b, s), lambda i, j, *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return qkv, mask
+
+
+def _forward(q, k, v, mask, seed, dropout_rate, interpret):
     b, n, s, d = q.shape
-    kernel = functools.partial(_attention_kernel, scale=1.0 / math.sqrt(d))
+    qkv_spec, mask_spec = _cell_specs(b, s, d)
+    kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
+                               dropout_rate=dropout_rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+    )
     return pl.pallas_call(
         kernel,
-        grid=(b, n),
-        in_specs=[
-            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, s, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * s * s * d,
-            bytes_accessed=(3 * b * n * s * d + b * n * s * d) * q.dtype.itemsize,
+            bytes_accessed=4 * b * n * s * d * q.dtype.itemsize,
             transcendentals=b * n * s * s),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(seed, q, k, v, mask)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention(q, k, v, mask, interpret=False):
-    return _flash_attention_forward(q, k, v, mask, interpret)
+def _backward(q, k, v, mask, seed, do, dropout_rate, interpret):
+    b, n, s, d = q.shape
+    qkv_spec, mask_spec = _cell_specs(b, s, d)
+    kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
+                               dropout_rate=dropout_rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, n, s, d), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * n * s * s * d,
+            bytes_accessed=8 * b * n * s * d * q.dtype.itemsize,
+            transcendentals=b * n * s * s),
+        interpret=interpret,
+    )(seed, q, k, v, mask, do)
 
 
-def _fwd(q, k, v, mask, interpret=False):
-    return _flash_attention_forward(q, k, v, mask, interpret), (q, k, v, mask)
+# --------------------------------------------------------------------------- #
+# custom-vjp wrapper
+# --------------------------------------------------------------------------- #
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention(q, k, v, mask, seed, dropout_rate, interpret):
+    return _forward(q, k, v, mask, seed, dropout_rate, interpret)
 
 
-def _bwd(interpret, residuals, g):
-    q, k, v, mask = residuals
-    _, vjp = jax.vjp(lambda q, k, v: mha_reference(q, k, v, mask), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+def _flash_fwd(q, k, v, mask, seed, dropout_rate, interpret):
+    out = _forward(q, k, v, mask, seed, dropout_rate, interpret)
+    return out, (q, k, v, mask, seed)
 
 
-_flash_attention.defvjp(_fwd, _bwd)
+def _flash_bwd(dropout_rate, interpret, residuals, g):
+    q, k, v, mask, seed = residuals
+    dq, dk, dv = _backward(q, k, v, mask, seed, g, dropout_rate, interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
+        None, None
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     mask: jnp.ndarray,
+                    dropout_rate: float = 0.0,
+                    seed=None,
                     use_pallas: bool = True,
                     interpret: bool = None) -> jnp.ndarray:
-    """Masked MHA ``[B, N, S, D] -> [B, N, S, D]``.
+    """Masked MHA ``[B, N, S, D] -> [B, N, S, D]`` with optional fused
+    attention-probability dropout.
 
-    Dispatches to the fused Pallas kernel on TPU (XLA reference otherwise,
-    or when the sequence is too long for the single-block kernel).
+    :param seed: int32 scalar/array seeding the in-kernel dropout PRNG
+        (required when ``dropout_rate > 0``); same seed => same mask, and
+        the backward pass regenerates it exactly.
     """
     s = q.shape[2]
-    if not use_pallas or s > MAX_FUSED_SEQ_LEN:
-        return mha_reference(q, k, v, mask)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    return _flash_attention(q, k, v, mask, interpret)
+    if not use_pallas or s > MAX_FUSED_SEQ_LEN or \
+            (interpret and dropout_rate > 0.0):
+        # interpret mode stubs pltpu.prng_random_bits with zeros (everything
+        # would be dropped) -> XLA reference with a jax-PRNG mask instead
+        rng = (jax.random.fold_in(jax.random.key(0), jnp.asarray(seed))
+               if dropout_rate > 0.0 and seed is not None else None)
+        return mha_reference(q, k, v, mask, dropout_rate, rng)
+    if seed is None:
+        seed = 0
+    seed = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    return _flash_attention(q, k, v, mask, seed, float(dropout_rate),
+                            interpret)

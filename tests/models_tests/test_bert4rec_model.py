@@ -119,6 +119,21 @@ class TestBERT4RecModel:
         assert not np.allclose(np.asarray(out1["mlm_logits"]),
                                np.asarray(out2["mlm_logits"]))
 
+    def test_vocab_padding_masked(self):
+        """vocab_pad_to rounds the table up; padded ids never rank/score."""
+        model = make_model(vocab_pad_to=64)
+        assert model.config.padded_vocab_size == 128
+        params = model.init(jax.random.key(0))
+        assert params["encoder"]["item_embeddings"]["embedding"].shape[0] == 128
+        assert params["mlm"]["output_bias"].shape == (128,)
+        out = model.apply(params, make_batch())
+        logits = np.asarray(out["mlm_logits"])
+        assert logits.shape[-1] == 128
+        assert (logits[..., VOCAB:] <= -1e8).all()
+        rankings, _ = model.rank_full_vocab(params, make_batch())
+        # the top (vocab) entries never include padding ids
+        assert (np.asarray(rankings)[..., :VOCAB] < VOCAB).all()
+
     def test_jit_rank_items(self):
         model = make_model()
         params = model.init(jax.random.key(0))

@@ -55,6 +55,91 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_dropout_deterministic_per_seed(self):
+        q, k, v, mask = make_qkv()
+        a = flash_attention(q, k, v, mask, dropout_rate=0.3, seed=7,
+                            interpret=True)
+        b = flash_attention(q, k, v, mask, dropout_rate=0.3, seed=7,
+                            interpret=True)
+        c = flash_attention(q, k, v, mask, dropout_rate=0.3, seed=8,
+                            interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_dropout_statistics(self):
+        """Mean output over many seeds approximates the no-dropout output
+        (inverted dropout is unbiased)."""
+        q, k, v, mask = make_qkv()
+        ref = flash_attention(q, k, v, mask, dropout_rate=0.0,
+                              interpret=True)
+        acc = np.zeros_like(np.asarray(ref))
+        n = 48
+        for seed in range(n):
+            acc += np.asarray(flash_attention(
+                q, k, v, mask, dropout_rate=0.4, seed=seed, interpret=True))
+        mean = (acc / n).reshape(-1)
+        ref_flat = np.asarray(ref).reshape(-1)
+        # unbiased estimator: high correlation + matching scale
+        corr = np.corrcoef(mean, ref_flat)[0, 1]
+        assert corr > 0.97, corr
+        np.testing.assert_allclose(np.abs(mean).mean(),
+                                   np.abs(ref_flat).mean(), rtol=0.1)
+
+    def test_dropout_gradient_matches_finite_difference(self):
+        """The pallas backward regenerates the same dropout mask as the
+        forward: grads must match central finite differences."""
+        rng = np.random.default_rng(3)
+        b, n, s, d = 1, 2, 8, 4
+        q, k, v = (jnp.asarray(rng.normal(size=(b, n, s, d))
+                               .astype(np.float32)) for _ in range(3))
+        mask = jnp.ones((b, s), jnp.int32)
+        proj = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+
+        def loss(q, k, v):
+            out = flash_attention(q, k, v, mask, dropout_rate=0.3, seed=5,
+                                  interpret=True)
+            return jnp.sum(out * proj)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        eps = 1e-3
+        for argi, (name, x) in enumerate([("q", q), ("k", k), ("v", v)]):
+            flat = np.asarray(x).reshape(-1)
+            for idx in [0, 7, 19]:
+                delta = np.zeros_like(flat)
+                delta[idx] = eps
+                dx = jnp.asarray(delta.reshape(x.shape))
+                args = [q, k, v]
+                args_p = list(args); args_p[argi] = args[argi] + dx
+                args_m = list(args); args_m[argi] = args[argi] - dx
+                fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+                an = float(np.asarray(grads[argi]).reshape(-1)[idx])
+                np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-3,
+                                           err_msg=f"{name}[{idx}]")
+
+    def test_kernel_dropout_on_tpu(self):
+        """In-kernel PRNG dropout semantics — needs real TPU (interpret
+        mode stubs prng_random_bits with zeros)."""
+        if jax.devices()[0].platform != "tpu":
+            pytest.skip("pallas PRNG requires a real TPU")
+        q, k, v, mask = make_qkv()
+        ref = flash_attention(q, k, v, mask, dropout_rate=0.0,
+                              interpret=False)
+        a = flash_attention(q, k, v, mask, dropout_rate=0.4, seed=7,
+                            interpret=False)
+        b = flash_attention(q, k, v, mask, dropout_rate=0.4, seed=7,
+                            interpret=False)
+        c = flash_attention(q, k, v, mask, dropout_rate=0.4, seed=8,
+                            interpret=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+        acc = np.zeros_like(np.asarray(ref))
+        n = 32
+        for seed in range(n):
+            acc += np.asarray(flash_attention(
+                q, k, v, mask, dropout_rate=0.4, seed=seed, interpret=False))
+        np.testing.assert_allclose(acc / n, np.asarray(ref),
+                                   rtol=0.5, atol=0.15)
+
     def test_long_sequence_falls_back(self):
         rng = np.random.default_rng(0)
         s = 2048  # > MAX_FUSED_SEQ_LEN
