@@ -11,11 +11,20 @@ reproducible, and cheap enough to overlap with device compute.
 """
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import numpy as np
 
 from bert4rec_tpu.dataloaders import dataloader_utils as utils
+from bert4rec_tpu.dataloaders import native
+
+
+def _use_native() -> bool:
+    """Native masking engine on by default when g++ built it; opt out with
+    BERT4REC_TPU_NATIVE=0 (same distribution, different random streams)."""
+    return (os.environ.get("BERT4REC_TPU_NATIVE", "1") != "0"
+            and native.available())
 
 
 @dataclasses.dataclass
@@ -164,14 +173,26 @@ class ProcessedDataset:
         }
 
         if self.apply_mlm:
-            masked = utils.apply_dynamic_masking_batch(
-                input_ids, lengths,
-                cfg.max_predictions_per_seq, cfg.mask_token_id,
-                cfg.special_token_ids, self.vocab_size_fn(), rng,
-                selection_rate=cfg.masked_lm_rate,
-                mask_token_rate=cfg.mask_token_rate,
-                random_token_rate=cfg.random_token_rate,
-                finetuning=ft)
+            if _use_native():
+                int_seed = (int(seed) if seed is not None
+                            else int(rng.integers(0, 2 ** 63)))
+                masked = native.apply_dynamic_masking_batch_native(
+                    input_ids, lengths,
+                    cfg.max_predictions_per_seq, cfg.mask_token_id,
+                    cfg.special_token_ids, self.vocab_size_fn(), int_seed,
+                    selection_rate=cfg.masked_lm_rate,
+                    mask_token_rate=cfg.mask_token_rate,
+                    random_token_rate=cfg.random_token_rate,
+                    finetuning=ft)
+            else:
+                masked = utils.apply_dynamic_masking_batch(
+                    input_ids, lengths,
+                    cfg.max_predictions_per_seq, cfg.mask_token_id,
+                    cfg.special_token_ids, self.vocab_size_fn(), rng,
+                    selection_rate=cfg.masked_lm_rate,
+                    mask_token_rate=cfg.mask_token_rate,
+                    random_token_rate=cfg.random_token_rate,
+                    finetuning=ft)
             features.update(masked)
 
         if ts_pad is not None:
