@@ -94,7 +94,14 @@ class BERT4RecEvaluator(BaseEvaluator):
                 beaten = jnp.sum((cand[..., :-1] >= gt).astype(jnp.int32),
                                  axis=-1)
                 return beaten + 1  # [B, P]
-            self._rank_fn_cache[key] = jax.jit(ranks)
+            if self.mesh is not None:
+                # replicate the (tiny) rank output so every host can read it
+                out_sharding = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec())
+                self._rank_fn_cache[key] = jax.jit(
+                    ranks, out_shardings=out_sharding)
+            else:
+                self._rank_fn_cache[key] = jax.jit(ranks)
         return self._rank_fn_cache[key]
 
     # ------------------------------------------------------------------ #
@@ -156,10 +163,18 @@ class BERT4RecEvaluator(BaseEvaluator):
                 self.mesh, partitioning.make_batch_specs(
                     {"x": np.asarray(v)})["x"])
                 for k, v in feature_batch.items()}
-            feature_batch = jax.device_put(feature_batch, shard)
-            candidates = jax.device_put(
-                candidates, jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec("data")))
+            cand_shard = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data"))
+            if jax.process_count() > 1:
+                feature_batch = {
+                    k: jax.make_array_from_process_local_data(
+                        shard[k], np.asarray(v))
+                    for k, v in feature_batch.items()}
+                candidates = jax.make_array_from_process_local_data(
+                    cand_shard, np.asarray(candidates))
+            else:
+                feature_batch = jax.device_put(feature_batch, shard)
+                candidates = jax.device_put(candidates, cand_shard)
         ranks = np.asarray(self._rank_fn(model)(
             params, feature_batch, candidates))
         return ranks[valid]

@@ -143,6 +143,13 @@ class BERT4RecTrainer(BaseTrainer):
                 self.mesh, partitioning.make_batch_specs(
                     {"x": np.asarray(v)})["x"])
             for k, v in batch.items()}
+        if jax.process_count() > 1:
+            # multi-host: each process holds its local slice of the global
+            # batch; assemble the distributed global array from it
+            return {
+                k: jax.make_array_from_process_local_data(
+                    shardings[k], np.asarray(v))
+                for k, v in batch.items()}
         return jax.device_put(batch, shardings)
 
     # ------------------------------------------------------------------ #
