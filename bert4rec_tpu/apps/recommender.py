@@ -8,7 +8,7 @@ The tied-embedding matmul fallback (reference :38-54, used when a model has
 no MLM head) is ``use_mlm_head=False``: scores = sequence_output @ table^T.
 """
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

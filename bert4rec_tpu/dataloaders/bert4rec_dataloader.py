@@ -11,7 +11,7 @@ The pipeline is host-side numpy end to end — no TF (tf.data replaced by
 :class:`SequenceDataset`/:class:`ProcessedDataset`).
 """
 
-from typing import Optional, Type, Union
+from typing import Optional, Union
 
 import numpy as np
 

@@ -15,7 +15,7 @@ TPU-native differences:
   masked position (SURVEY.md §3.3 "hot, pure python").
 """
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

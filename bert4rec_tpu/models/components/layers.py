@@ -12,8 +12,7 @@ Dtype policy: params live in ``param_dtype`` (fp32); matmuls run in
 accumulate in fp32.
 """
 
-import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import numbers
 import os
 import pathlib
 from collections.abc import Iterable
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -2,7 +2,6 @@
 
 import abc
 import datetime
-from typing import Optional
 
 
 class BaseTrainer(abc.ABC):

@@ -16,16 +16,14 @@ Native rebuild of reference ``bert4rec/trainers/bert4rec_trainer.py:13-68``
   batch is sharded over 'data'. XLA/GSPMD inserts the psum/all-gathers.
 """
 
-import math
 import time
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from bert4rec_tpu.core import mesh as mesh_lib
 from bert4rec_tpu.core import partitioning
 from bert4rec_tpu.trainers import optimizers, trainer_utils
 from bert4rec_tpu.trainers.base_trainer import BaseTrainer

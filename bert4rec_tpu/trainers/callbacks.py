@@ -4,7 +4,6 @@ equivalents driven by the trainer's epoch loop."""
 
 import math
 import pathlib
-from typing import Optional
 
 
 class Callback:

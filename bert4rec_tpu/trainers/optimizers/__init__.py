@@ -12,7 +12,7 @@ adam_w_optimizer.py:67).
 """
 
 import re
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
