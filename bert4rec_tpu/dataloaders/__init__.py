@@ -56,8 +56,11 @@ class BERT4RecDataloaderFactory(BaseDataloaderFactory):
 
 
 def get_dataloader_factory(identifier: str = "bert4rec") -> BaseDataloaderFactory:
+    """reference dataloaders/__init__.py:56-60"""
     if identifier == "bert4rec":
         return BERT4RecDataloaderFactory()
+    raise ValueError(f"{identifier} is not a known dataloader factory "
+                     "identifier!")
     raise ValueError(f"{identifier} is not a known dataloader factory!")
 
 
