@@ -18,6 +18,14 @@ from bert4rec_tpu.dataloaders.sequence_dataset import SequenceDataset
 class BERT4RecTemporalPreprocessor(BERT4RecPreprocessor):
 
     def process_dataset(self, ds, apply_mlm: bool, finetuning: bool) -> ProcessedDataset:
+        """Accepts the aligned column under the canonical name
+        ``timestamps``, or — when the dataloader extracted exactly one extra
+        column (e.g. ``extract_data=["item", "timestamp"]``) — uses that
+        column as the timestamps."""
+        if isinstance(ds, SequenceDataset) and "timestamps" not in ds.columns \
+                and len(ds.columns) == 1:
+            only = next(iter(ds.columns))
+            ds = SequenceDataset(ds.sequences, {"timestamps": ds.columns[only]})
         if not (isinstance(ds, SequenceDataset) and "timestamps" in ds.columns):
             raise ValueError(
                 "The temporal preprocessor needs a SequenceDataset with an "

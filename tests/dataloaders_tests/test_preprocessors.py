@@ -144,3 +144,41 @@ def test_temporal_preprocessor_alignment():
     inf = p.prepare_inference(["a", "b"], timestamps=[5, 6])
     assert inf["input_timestamps"].shape[0] == 1
     assert inf["input_timestamps"][0, 2] > 0
+
+
+def test_temporal_through_dataloader_get_data():
+    """End-to-end: extract_data=["item", "timestamp"] produces aligned
+    input_timestamps through the generic dataloader."""
+    import numpy as np
+    import pandas as pd
+    from bert4rec_tpu.dataloaders import BERT4RecDataloader
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for uid in range(15):
+        t = 1_500_000_000
+        for _ in range(int(rng.integers(5, 12))):
+            rows.append((uid, f"item_{rng.integers(0, 20)}", t))
+            t += int(rng.integers(60, 86400))
+    df = pd.DataFrame(rows, columns=["uid", "item", "timestamp"])
+
+    class InlineSource:
+        @classmethod
+        def load_data(cls):
+            return df
+
+    dataloader = BERT4RecDataloader(
+        max_seq_len=12, max_predictions_per_seq=3,
+        data_source=InlineSource,
+        preprocessor=preprocessors.BERT4RecTemporalPreprocessor)
+    dataloader.generate_vocab(sorted(set(df["item"])))
+    train, val, test = dataloader.get_data(
+        sort_by="timestamp", group_by="uid",
+        extract_data=["item", "timestamp"])
+    batch = next(train.batches(4, seed=0))
+    assert "input_timestamps" in batch
+    assert batch["input_timestamps"].shape == batch["input_word_ids"].shape
+    pad = batch["input_word_ids"] == 0
+    assert (batch["input_timestamps"][pad] == 0).all()
+    real = ~pad
+    assert (batch["input_timestamps"][real] >= 1_500_000_000).all()
