@@ -45,9 +45,9 @@ def build(model_cfg_overrides=None):
         num_attention_heads=4, inner_dim=512, max_sequence_length=SEQ,
         attention_dropout=0.2, output_dropout=0.5,
         max_predictions_per_seq=NPRED,
-        # fused Pallas attention (1.27x measured on v5e); falls back to the
-        # identical-math XLA path elsewhere
-        use_flash_attention=jax.devices()[0].platform == "tpu")
+        # whole-layer Pallas fusion: 10.0 ms/step vs 19.0 (XLA) / 14.0
+        # (fused attention only) measured interleaved on v5e
+        use_fused_layer=jax.devices()[0].platform == "tpu")
     cfg_kwargs.update(model_cfg_overrides or {})
     config = BERT4RecConfig(**cfg_kwargs)
     model = BERT4RecModel(config=config, dtype_policy=DTypePolicy.bf16())

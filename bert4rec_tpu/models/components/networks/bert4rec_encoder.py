@@ -107,22 +107,49 @@ class Bert4RecEncoder:
 
         attn_bias = L.self_attention_mask(input_mask)
 
+        # whole-layer fusion: post-LN only, no query slicing, and either a
+        # real TPU or inactive dropout (interpret mode has no PRNG)
+        attn_rate = cfg.attention_dropout if training else 0.0
+        out_rate = cfg.output_dropout if training else 0.0
+        fused_ok = (cfg.use_fused_layer and not cfg.norm_first
+                    and output_range is None
+                    and cfg.inner_activation == "gelu"
+                    and (jax.devices()[0].platform == "tpu"
+                         or (attn_rate == 0.0 and out_rate == 0.0)))
+
         encoder_outputs = []
         for i in range(cfg.num_layers):
             is_last = i == cfg.num_layers - 1
-            x = transformer_block(
-                params["layers"][f"layer_{i}"], x, attn_bias,
-                num_heads=cfg.num_attention_heads,
-                inner_activation=act,
-                output_dropout=cfg.output_dropout,
-                attention_dropout=cfg.attention_dropout,
-                rng=rngs[1 + i],
-                training=training,
-                norm_first=cfg.norm_first,
-                compute_dtype=compute_dtype,
-                query_range=output_range if is_last else None,
-                use_flash=cfg.use_flash_attention,
-                input_mask=input_mask)
+            if fused_ok:
+                from bert4rec_tpu.ops.fused_encoder_layer import (
+                    fused_encoder_layer,
+                )
+                layer_rng = rngs[1 + i]
+                # no rng => no dropout (matches the unfused path)
+                a_rate = attn_rate if layer_rng is not None else 0.0
+                o_rate = out_rate if layer_rng is not None else 0.0
+                seed = (jax.random.randint(layer_rng, (), 0, 2 ** 31 - 1)
+                        if a_rate > 0 or o_rate > 0 else 0)
+                x = fused_encoder_layer(
+                    params["layers"][f"layer_{i}"], x, input_mask,
+                    num_heads=cfg.num_attention_heads,
+                    attention_dropout=a_rate,
+                    output_dropout=o_rate,
+                    seed=seed)
+            else:
+                x = transformer_block(
+                    params["layers"][f"layer_{i}"], x, attn_bias,
+                    num_heads=cfg.num_attention_heads,
+                    inner_activation=act,
+                    output_dropout=cfg.output_dropout,
+                    attention_dropout=cfg.attention_dropout,
+                    rng=rngs[1 + i],
+                    training=training,
+                    norm_first=cfg.norm_first,
+                    compute_dtype=compute_dtype,
+                    query_range=output_range if is_last else None,
+                    use_flash=cfg.use_flash_attention,
+                    input_mask=input_mask)
             encoder_outputs.append(x)
 
         sequence_output = encoder_outputs[-1]

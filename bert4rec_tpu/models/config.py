@@ -51,6 +51,9 @@ class BERT4RecConfig:
     # use the fused Pallas attention kernel (ops/flash_attention.py) when
     # attention dropout is inactive; XLA attention otherwise
     use_flash_attention: bool = False
+    # fuse each whole post-LN encoder layer into one Pallas kernel
+    # (ops/fused_encoder_layer.py) — subsumes use_flash_attention
+    use_fused_layer: bool = False
     # round the embedding-table / output-bias vocab dimension up to a
     # multiple of this, so it divides the 'model' mesh axis for vocab
     # sharding; logits of padding ids are masked to -1e9

@@ -83,82 +83,89 @@ def _probs(q, k, mask, scale):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _seed_cell(seed_ref):
-    """Unique PRNG stream per (batch, head) grid cell."""
-    b, n = pl.program_id(0), pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + n)
+def _seed_cell(seed_ref, n_heads, head):
+    """Unique PRNG stream per (batch, head) pair; the grid is over batch."""
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + b * n_heads + head)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale, dropout_rate):
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    p = _probs(q, k, mask_ref[pl.program_id(0)], scale)
-    if dropout_rate > 0.0:
-        _seed_cell(seed_ref)
-        p = p * _dropout_keep_scale(p.shape, dropout_rate)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+                scale, dropout_rate, n_heads):
+    mask = mask_ref[pl.program_id(0)]
+    for h in range(n_heads):  # static unroll; all heads share the mask load
+        q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+        p = _probs(q, k, mask, scale)
+        if dropout_rate > 0.0:
+            _seed_cell(seed_ref, n_heads, h)
+            p = p * _dropout_keep_scale(p.shape, dropout_rate)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate):
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate, n_heads):
+    mask = mask_ref[pl.program_id(0)]
+    for h in range(n_heads):
+        q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
 
-    p = _probs(q, k, mask_ref[pl.program_id(0)], scale)       # [S, S] fp32
-    if dropout_rate > 0.0:
-        _seed_cell(seed_ref)
-        keep = _dropout_keep_scale(p.shape, dropout_rate)
-        d_mat = p * keep
-    else:
-        keep = None
-        d_mat = p
+        p = _probs(q, k, mask, scale)                         # [S, S] fp32
+        if dropout_rate > 0.0:
+            _seed_cell(seed_ref, n_heads, h)
+            keep = _dropout_keep_scale(p.shape, dropout_rate)
+            d_mat = p * keep
+        else:
+            keep = None
+            d_mat = p
 
-    # dV = D^T dO
-    dv = jax.lax.dot_general(
-        d_mat.astype(v.dtype), do.astype(v.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # dD = dO V^T ; dP = dD * keep
-    dd = jax.lax.dot_general(
-        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = dd * keep if keep is not None else dd
-    # softmax jacobian: dS = P * (dP - rowsum(dP * P))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds.astype(q.dtype)
-    # dQ = dS K * scale ; dK = dS^T Q * scale
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        # dV = D^T dO
+        dv = jax.lax.dot_general(
+            d_mat.astype(v.dtype), do.astype(v.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # dD = dO V^T ; dP = dD * keep
+        dd = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = dd * keep if keep is not None else dd
+        # softmax jacobian: dS = P * (dP - rowsum(dP * P))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        # dQ = dS K * scale ; dK = dS^T Q * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _cell_specs(b, s, d):
-    # index maps take (*grid_ids, *scalar_prefetch_refs). The mask is loaded
-    # whole (TPU tiling forbids a (1, S) block) and indexed by program_id.
-    qkv = pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0),
+def _cell_specs(b, n, s, d):
+    # one grid cell = one batch element with ALL heads: the per-head
+    # [S, D] matmuls are tiny, so batching heads amortizes per-cell
+    # overhead and reuses the mask load. Index maps take
+    # (*grid_ids, *scalar_prefetch_refs); the mask is loaded whole (TPU
+    # tiling forbids a (1, S) block) and indexed by program_id.
+    qkv = pl.BlockSpec((1, n, s, d), lambda i, *_: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((b, s), lambda i, j, *_: (0, 0),
+    mask = pl.BlockSpec((b, s), lambda i, *_: (0, 0),
                         memory_space=pltpu.VMEM)
     return qkv, mask
 
 
 def _forward(q, k, v, mask, seed, dropout_rate, interpret):
     b, n, s, d = q.shape
-    qkv_spec, mask_spec = _cell_specs(b, s, d)
+    qkv_spec, mask_spec = _cell_specs(b, n, s, d)
     kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, n_heads=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n),
+        grid=(b,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
         out_specs=qkv_spec,
     )
@@ -176,12 +183,12 @@ def _forward(q, k, v, mask, seed, dropout_rate, interpret):
 
 def _backward(q, k, v, mask, seed, do, dropout_rate, interpret):
     b, n, s, d = q.shape
-    qkv_spec, mask_spec = _cell_specs(b, s, d)
+    qkv_spec, mask_spec = _cell_specs(b, n, s, d)
     kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, n_heads=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n),
+        grid=(b,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
     )

@@ -1,0 +1,168 @@
+"""Fused encoder-layer kernel parity vs the unfused transformer block
+(interpret mode; dropout paths validated on hardware via
+tools/verify_kernels_on_tpu.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4rec_tpu.models.components import layers as L
+from bert4rec_tpu.models.components.transformer import (
+    init_transformer_block, transformer_block,
+)
+from bert4rec_tpu.ops.fused_encoder_layer import fused_encoder_layer
+
+B, S, H, N, F = 3, 24, 32, 4, 64
+
+
+def setup(seed=0):
+    params = init_transformer_block(jax.random.key(seed), H, N, F, 0.02)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, S, H)).astype(np.float32) * 0.5)
+    lengths = rng.integers(4, S + 1, size=B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lengths[:, None])
+                       .astype(np.int32))
+    return params, x, mask
+
+
+def unfused(params, x, mask, dtype=jnp.float32):
+    # the kernel uses tanh-approximate gelu (no erf lowering in Mosaic);
+    # compare against the same activation for tight tolerances
+    attn_bias = L.self_attention_mask(mask)
+    return transformer_block(
+        params, x, attn_bias, num_heads=N,
+        inner_activation=L.get_activation("gelu_approx"),
+        output_dropout=0.0, attention_dropout=0.0,
+        training=False, norm_first=False, compute_dtype=dtype)
+
+
+class TestFusedLayerForward:
+
+    def test_matches_unfused(self):
+        params, x, mask = setup()
+        ref = unfused(params, x, mask)
+        out = fused_encoder_layer(params, x, mask, num_heads=N,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_bf16_matches_unfused(self):
+        params, x, mask = setup()
+        x16 = x.astype(jnp.bfloat16)
+        ref = unfused(params, x16, mask, dtype=jnp.bfloat16)
+        out = fused_encoder_layer(params, x16, mask, num_heads=N,
+                                  interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(ref, dtype=np.float32), rtol=8e-2, atol=8e-2)
+
+    def test_interpret_dropout_raises(self):
+        params, x, mask = setup()
+        with pytest.raises(ValueError):
+            fused_encoder_layer(params, x, mask, num_heads=N,
+                                attention_dropout=0.2, seed=1,
+                                interpret=True)
+
+
+class TestFusedLayerBackward:
+
+    # NOTE: sum(y**2) of a layer-norm output is constant at init (g=1, b=0
+    # make ||y||^2 == S*H per example), which zeroes every upstream
+    # gradient — use a random projection loss so gradients are O(1).
+
+    def test_input_grad_matches_unfused(self):
+        params, x, mask = setup()
+        proj = jnp.asarray(np.random.default_rng(7)
+                           .normal(size=(B, S, H)).astype(np.float32))
+
+        def loss_fused(x):
+            return jnp.sum(fused_encoder_layer(
+                params, x, mask, num_heads=N, interpret=True) * proj)
+
+        def loss_ref(x):
+            return jnp.sum(unfused(params, x, mask) * proj)
+
+        g_fused = jax.grad(loss_fused)(x)
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_weight_grads_match_unfused(self):
+        params, x, mask = setup()
+        proj = jnp.asarray(np.random.default_rng(7)
+                           .normal(size=(B, S, H)).astype(np.float32))
+
+        def loss_fused(params):
+            return jnp.sum(fused_encoder_layer(
+                params, x, mask, num_heads=N, interpret=True) * proj)
+
+        def loss_ref(params):
+            return jnp.sum(unfused(params, x, mask) * proj)
+
+        g_fused = jax.grad(loss_fused)(params)
+        g_ref = jax.grad(loss_ref)(params)
+        flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+        flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+        for (path_f, leaf_f), (path_r, leaf_r) in zip(flat_f, flat_r):
+            assert path_f == path_r
+            scale = max(np.abs(np.asarray(leaf_r)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(leaf_f) / scale, np.asarray(leaf_r) / scale,
+                rtol=5e-3, atol=5e-3,
+                err_msg=str(path_f))
+
+
+class TestFusedEncoderIntegration:
+
+    def test_fused_encoder_matches_unfused(self):
+        from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+        kw = dict(vocab_size=60, hidden_size=32, num_layers=2,
+                  num_attention_heads=4, inner_dim=64,
+                  max_sequence_length=16)
+        enc = Bert4RecEncoder(BERT4RecConfig(**kw))
+        enc_fused = Bert4RecEncoder(
+            BERT4RecConfig(use_fused_layer=True, **kw))
+        params = enc.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 60, size=(2, 16)).astype(np.int32))
+        mask = jnp.asarray((np.arange(16)[None, :] < np.array([[16], [9]]))
+                           .astype(np.int32))
+        out = enc.apply(params, ids * mask, mask)
+        out_fused = enc_fused.apply(params, ids * mask, mask)
+        # fused path uses approximate gelu -> small systematic difference
+        np.testing.assert_allclose(
+            np.asarray(out_fused["sequence_output"]),
+            np.asarray(out["sequence_output"]), rtol=2e-2, atol=5e-3)
+
+    def test_fused_model_grads_flow(self):
+        from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+        cfg = BERT4RecConfig(vocab_size=50, hidden_size=32, num_layers=2,
+                             num_attention_heads=4, inner_dim=64,
+                             max_sequence_length=12,
+                             max_predictions_per_seq=2,
+                             use_fused_layer=True)
+        model = BERT4RecModel(config=cfg)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_word_ids": jnp.asarray(
+                rng.integers(3, 50, size=(2, 12)).astype(np.int32)),
+            "input_mask": jnp.ones((2, 12), jnp.int32),
+            "masked_lm_positions": jnp.asarray([[1, 4], [0, 3]], jnp.int32),
+            "masked_lm_ids": jnp.asarray([[5, 6], [7, 8]], jnp.int32),
+        }
+
+        def loss(p):
+            out = model.apply(p, batch)
+            from bert4rec_tpu.trainers import trainer_utils
+            return trainer_utils.masked_sparse_categorical_crossentropy(
+                batch["masked_lm_ids"], out["mlm_logits"])
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        for leaf in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # encoder layer weights receive non-zero grads through the kernel
+        g = grads["encoder"]["layers"]["layer_0"]["intermediate"]["kernel"]
+        assert np.abs(np.asarray(g)).max() > 0
