@@ -115,6 +115,37 @@ class BERT4RecModel:
         return candidate_scoring.score_candidates(
             hidden, table, params["mlm"]["output_bias"], candidates)
 
+    def loss_and_metrics(self, params: dict, inputs: dict, *,
+                         training: bool = False,
+                         rng: Optional[jax.Array] = None) -> tuple:
+        """(masked-SCCE loss, {masked_accuracy, accuracy}) for a train/eval
+        step. With ``config.use_fused_loss`` the tied softmax + loss +
+        metrics run as one Pallas kernel (no [B, P, V] logits in HBM);
+        otherwise identical math via the standard logits path."""
+        from bert4rec_tpu.trainers import trainer_utils
+        labels = inputs["masked_lm_ids"]
+        if self.config.use_fused_loss:
+            from bert4rec_tpu.ops.fused_mlm_loss import mlm_loss_and_metrics
+            enc = self.encoder.apply(
+                params["encoder"], inputs["input_word_ids"],
+                inputs["input_mask"], training=training, rng=rng)
+            hidden = self.mlm_transform(params, enc["sequence_output"],
+                                        inputs["masked_lm_positions"])
+            table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+            return mlm_loss_and_metrics(
+                hidden, table, params["mlm"]["output_bias"], labels,
+                self.config.vocab_size)
+        out = self.apply(params, inputs, training=training, rng=rng)
+        logits = out["mlm_logits"]
+        loss = trainer_utils.masked_sparse_categorical_crossentropy(
+            labels, logits)
+        logs = {
+            "masked_accuracy": trainer_utils.masked_accuracy(labels, logits),
+            "accuracy": trainer_utils.sparse_categorical_accuracy(labels,
+                                                                  logits),
+        }
+        return loss, logs
+
     def apply(self, params: dict, inputs: dict, *,
               training: bool = False,
               rng: Optional[jax.Array] = None,

@@ -54,6 +54,10 @@ class BERT4RecConfig:
     # fuse each whole post-LN encoder layer into one Pallas kernel
     # (ops/fused_encoder_layer.py) — subsumes use_flash_attention
     use_fused_layer: bool = False
+    # fuse the tied-softmax masked cross-entropy + accuracy metrics into a
+    # Pallas kernel (ops/fused_mlm_loss.py) — the [B*P, V] logits tensor is
+    # never materialized in HBM during training
+    use_fused_loss: bool = False
     # round the embedding-table / output-bias vocab dimension up to a
     # multiple of this, so it divides the 'model' mesh axis for vocab
     # sharding; logits of padding ids are masked to -1e9

@@ -53,6 +53,7 @@ class BERT4RecTrainer(BaseTrainer):
         (reference initialize_model, bert4rec_trainer.py:13-35)."""
         self.optimizer = optimizers.get(optimizer if optimizer is not None
                                         else "adamw")
+        self._custom_loss = loss is not None
         self.loss = loss or trainer_utils.masked_sparse_categorical_crossentropy
         self.metrics = {
             "masked_accuracy": trainer_utils.masked_accuracy,
@@ -94,24 +95,36 @@ class BERT4RecTrainer(BaseTrainer):
     def _compile_steps(self):
         model, loss_fn, metrics = self.model, self.loss, self.metrics
         optimizer = self.optimizer
+        # the model's own loss path (may run the fused Pallas tied-softmax
+        # loss, config.use_fused_loss) unless the user supplied a custom loss
+        model_loss = (not self._custom_loss
+                      and hasattr(model, "loss_and_metrics"))
+
+        def loss_and_logs(params, batch, training, rng):
+            if model_loss:
+                loss, logs = model.loss_and_metrics(
+                    params, batch, training=training, rng=rng)
+                return loss, logs
+            out = model.apply(params, batch, training=training, rng=rng)
+            logits = out["mlm_logits"]
+            loss = loss_fn(batch["masked_lm_ids"], logits)
+            logs = {name: metric(batch["masked_lm_ids"], logits)
+                    for name, metric in metrics.items()}
+            return loss, logs
 
         def train_step(state, batch):
             step_rng = jax.random.fold_in(
                 jax.random.wrap_key_data(state["rng"]), state["step"])
 
             def compute_loss(params):
-                out = model.apply(params, batch, training=True, rng=step_rng)
-                loss = loss_fn(batch["masked_lm_ids"], out["mlm_logits"])
-                return loss, out["mlm_logits"]
+                return loss_and_logs(params, batch, True, step_rng)
 
-            (loss, logits), grads = jax.value_and_grad(
+            (loss, logs), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(state["params"])
             updates, opt_state = optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
-            logs = {"loss": loss}
-            for name, metric in metrics.items():
-                logs[name] = metric(batch["masked_lm_ids"], logits)
+            logs = {"loss": loss, **logs}
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -121,12 +134,8 @@ class BERT4RecTrainer(BaseTrainer):
             return new_state, logs
 
         def eval_step(state, batch):
-            out = model.apply(state["params"], batch, training=False)
-            logits = out["mlm_logits"]
-            logs = {"loss": loss_fn(batch["masked_lm_ids"], logits)}
-            for name, metric in metrics.items():
-                logs[name] = metric(batch["masked_lm_ids"], logits)
-            return logs
+            loss, logs = loss_and_logs(state["params"], batch, False, None)
+            return {"loss": loss, **logs}
 
         self._train_step_fn = jax.jit(train_step, donate_argnums=0)
         self._eval_step_fn = jax.jit(eval_step)
