@@ -45,9 +45,10 @@ def build(model_cfg_overrides=None):
         num_attention_heads=4, inner_dim=512, max_sequence_length=SEQ,
         attention_dropout=0.2, output_dropout=0.5,
         max_predictions_per_seq=NPRED,
-        # whole-layer Pallas fusion: 10.0 ms/step vs 19.0 (XLA) / 14.0
-        # (fused attention only) measured interleaved on v5e
-        use_fused_layer=jax.devices()[0].platform == "tpu")
+        # whole-layer + tied-softmax-loss Pallas fusion, interleaved A/B on
+        # v5e: XLA 19.0 -> fused layers 9.8 -> + fused loss 8.9 ms/step
+        use_fused_layer=jax.devices()[0].platform == "tpu",
+        use_fused_loss=jax.devices()[0].platform == "tpu")
     cfg_kwargs.update(model_cfg_overrides or {})
     config = BERT4RecConfig(**cfg_kwargs)
     model = BERT4RecModel(config=config, dtype_policy=DTypePolicy.bf16())

@@ -166,3 +166,31 @@ class TestFusedEncoderIntegration:
         # encoder layer weights receive non-zero grads through the kernel
         g = grads["encoder"]["layers"]["layer_0"]["intermediate"]["kernel"]
         assert np.abs(np.asarray(g)).max() > 0
+
+    def test_fused_kernels_under_mesh(self):
+        """Pallas custom calls run correctly (if replicated) under a DP
+        mesh — smoke-checks the GSPMD interaction on 8 virtual devices."""
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        from bert4rec_tpu.dataloaders.processed_dataset import (
+            MaskingConfig, ProcessedDataset,
+        )
+        from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+        from bert4rec_tpu.trainers import BERT4RecTrainer
+
+        mesh = create_mesh(MeshConfig(model_parallelism=1))
+        rng = np.random.default_rng(0)
+        seqs = [rng.integers(3, 43, size=12).astype(np.int32)
+                for _ in range(64)]
+        cfg = MaskingConfig(max_seq_len=16, max_predictions_per_seq=4,
+                            mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                            masked_lm_rate=0.3)
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=43, hidden_size=32, num_layers=2,
+            num_attention_heads=4, inner_dim=64, max_sequence_length=16,
+            max_predictions_per_seq=4, use_fused_layer=True,
+            use_fused_loss=True, output_dropout=0.0, attention_dropout=0.0))
+        trainer = BERT4RecTrainer(model, mesh=mesh)
+        trainer.initialize_model(rng=jax.random.key(0))
+        h = trainer.train(ProcessedDataset(seqs, cfg, lambda: 43),
+                          epochs=1, batch_size=32, verbose=False)
+        assert np.isfinite(h.history["loss"][0])
