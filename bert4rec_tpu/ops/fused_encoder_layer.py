@@ -44,8 +44,8 @@ def _keep_scale(shape, rate):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _site_seed(seed_ref, site):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * _SITES_PER_CELL + site)
+def _site_seed(seed_ref, elem, site):
+    pltpu.prng_seed(seed_ref[0] + elem * _SITES_PER_CELL + site)
 
 
 def _dot(a, b, dims, out32=True):
@@ -91,7 +91,7 @@ def _gelu_grad(x):
 
 
 def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
-                   attn_rate, seed_ref, dtype):
+                   attn_rate, seed_ref, elem, dtype):
     """x [S,H] -> (ctx [S,H], qkv [S,3H]); dropout applied to probs."""
     h_total = n_heads * head_dim
     qkv = _dot(x, wqkv, (((1,), (0,))))
@@ -108,7 +108,7 @@ def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
         e = jnp.exp(s_mat - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)     # [S,S] fp32
         if attn_rate > 0.0:
-            _site_seed(seed_ref, h)
+            _site_seed(seed_ref, elem, h)
             p = p * _keep_scale(p.shape, attn_rate)
         ctx_heads.append(_dot(p.astype(dtype), v, (((1,), (0,)))))
     ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)  # [S, H]
@@ -117,17 +117,17 @@ def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
 
 def _layer_fwd_math(x, mask_row, wqkv, bqkv, wo, bo, g1, b1ln, w1, bf1,
                     w2, bf2, g2, b2ln, *, n_heads, head_dim, attn_rate,
-                    out_rate, seed_ref, dtype):
+                    out_rate, seed_ref, elem, dtype):
     """Shared forward math; returns all residuals needed by backward."""
     # matmul operands must share the compute dtype (params may be fp32)
     wqkv, wo = wqkv.astype(dtype), wo.astype(dtype)
     w1, w2 = w1.astype(dtype), w2.astype(dtype)
     scale = 1.0 / math.sqrt(head_dim)
     ctx, qkv = _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim,
-                              scale, attn_rate, seed_ref, dtype)
+                              scale, attn_rate, seed_ref, elem, dtype)
     attn = _dot(ctx, wo, (((1,), (0,)))) + bo          # [S,H] fp32
     if out_rate > 0.0:
-        _site_seed(seed_ref, n_heads)
+        _site_seed(seed_ref, elem, n_heads)
         keep2 = _keep_scale(attn.shape, out_rate)
         attn = attn * keep2
     else:
@@ -140,7 +140,7 @@ def _layer_fwd_math(x, mask_row, wqkv, bqkv, wo, bo, g1, b1ln, w1, bf1,
     hact = _gelu(hpre)
     f = _dot(hact.astype(dtype), w2, (((1,), (0,)))) + bf2   # [S,H] fp32
     if out_rate > 0.0:
-        _site_seed(seed_ref, n_heads + 1)
+        _site_seed(seed_ref, elem, n_heads + 1)
         keep3 = _keep_scale(f.shape, out_rate)
         f = f * keep3
     else:
@@ -155,16 +155,19 @@ def _layer_fwd_math(x, mask_row, wqkv, bqkv, wo, bo, g1, b1ln, w1, bf1,
 def _fwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
                 bo_ref, g1_ref, b1ln_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
                 g2_ref, b2ln_ref, y_ref, *, n_heads, head_dim, attn_rate,
-                out_rate):
-    x = x_ref[0]
-    res = _layer_fwd_math(
-        x, mask_ref[pl.program_id(0)],
-        wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
-        g1_ref[0], b1ln_ref[0], w1_ref[:], bf1_ref[0],
-        w2_ref[:], bf2_ref[0], g2_ref[0], b2ln_ref[0],
-        n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
-        out_rate=out_rate, seed_ref=seed_ref, dtype=x.dtype)
-    y_ref[0] = res["y"].astype(y_ref.dtype)
+                out_rate, cell_b):
+    # several batch elements per grid cell amortize per-cell overhead
+    for cb in range(cell_b):
+        elem = pl.program_id(0) * cell_b + cb
+        x = x_ref[cb]
+        res = _layer_fwd_math(
+            x, mask_ref[elem],
+            wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
+            g1_ref[0], b1ln_ref[0], w1_ref[:], bf1_ref[0],
+            w2_ref[:], bf2_ref[0], g2_ref[0], b2ln_ref[0],
+            n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
+            out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=x.dtype)
+        y_ref[cb] = res["y"].astype(y_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
@@ -172,23 +175,14 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
                 g2_ref, b2ln_ref, dy_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
                 db1ln_ref, dw1_ref, dbf1_ref, dw2_ref, dbf2_ref, dg2_ref,
-                db2ln_ref, *, n_heads, head_dim, attn_rate, out_rate):
-    x = x_ref[0]
-    dtype = x.dtype
-    mask_row = mask_ref[pl.program_id(0)]
+                db2ln_ref, *, n_heads, head_dim, attn_rate, out_rate,
+                cell_b):
+    dtype = x_ref.dtype
     wqkv = wqkv_ref[:].astype(dtype)
     wo = wo_ref[:].astype(dtype)
     w1 = w1_ref[:].astype(dtype)
     w2 = w2_ref[:].astype(dtype)
     g1, g2 = g1_ref[0], g2_ref[0]
-
-    res = _layer_fwd_math(
-        x, mask_row, wqkv, bqkv_ref[0], wo, bo_ref[0], g1, b1ln_ref[0],
-        w1, bf1_ref[0], w2, bf2_ref[0], g2, b2ln_ref[0],
-        n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
-        out_rate=out_rate, seed_ref=seed_ref, dtype=dtype)
-
-    dy = dy_ref[0].astype(jnp.float32)
 
     # weight-grad accumulators: grid runs sequentially, so init at cell 0
     # and += afterwards into the revisited blocks
@@ -206,6 +200,34 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
         dbf2_ref[:] = jnp.zeros_like(dbf2_ref)
         dg2_ref[:] = jnp.zeros_like(dg2_ref)
         db2ln_ref[:] = jnp.zeros_like(db2ln_ref)
+
+    for cb in range(cell_b):
+        _bwd_element(
+            cb, pl.program_id(0) * cell_b + cb, dtype,
+            seed_ref, x_ref, mask_ref, wqkv, wo, w1, w2, g1, g2,
+            bqkv_ref, bo_ref, b1ln_ref, bf1_ref, bf2_ref, b2ln_ref,
+            dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+            dg1_ref, db1ln_ref, dw1_ref, dbf1_ref, dw2_ref, dbf2_ref,
+            dg2_ref, db2ln_ref, n_heads=n_heads, head_dim=head_dim,
+            attn_rate=attn_rate, out_rate=out_rate)
+
+
+def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
+                 w2, g1, g2, bqkv_ref, bo_ref, b1ln_ref, bf1_ref, bf2_ref,
+                 b2ln_ref, dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                 dbo_ref, dg1_ref, db1ln_ref, dw1_ref, dbf1_ref, dw2_ref,
+                 dbf2_ref, dg2_ref, db2ln_ref, *, n_heads, head_dim,
+                 attn_rate, out_rate):
+    x = x_ref[cb]
+    mask_row = mask_ref[elem]
+
+    res = _layer_fwd_math(
+        x, mask_row, wqkv, bqkv_ref[0], wo, bo_ref[0], g1, b1ln_ref[0],
+        w1, bf1_ref[0], w2, bf2_ref[0], g2, b2ln_ref[0],
+        n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
+        out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=dtype)
+
+    dy = dy_ref[cb].astype(jnp.float32)
 
     # ---- LN2 ----
     dg2_ref[0] += jnp.sum(dy * res["xhat2"], axis=0)
@@ -249,7 +271,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
         e = jnp.exp(s_mat - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if attn_rate > 0.0:
-            _site_seed(seed_ref, h)
+            _site_seed(seed_ref, elem, h)
             keep1 = _keep_scale(p.shape, attn_rate)
             d_mat = p * keep1
         else:
@@ -272,7 +294,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
     dwqkv_ref[:] += _dot(x, dqkv.astype(dtype), (((0,), (0,))))
     dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
     dx = du + _dot(dqkv.astype(dtype), wqkv, (((1,), (1,))))
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[cb] = dx.astype(dx_ref.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -285,9 +307,18 @@ def _whole(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _weight_specs(b, s, h, f, three_h):
+def _cell_b_for(b):
+    """Batch elements per grid cell. Measured on v5e (ml-1m_128, B=256):
+    cell_b=4 REGRESSES the step 9.4 vs 8.9 ms — grouping elements reduces
+    the grid's DMA/compute pipelining more than it saves in per-cell
+    overhead — so one element per cell is the default; the loop machinery
+    stays for other shapes."""
+    return 1
+
+
+def _weight_specs(b, s, h, f, three_h, cell_b):
     return [
-        pl.BlockSpec((1, s, h), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((cell_b, s, h), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),              # x
         _whole((b, s)),                                     # mask
         _whole((h, three_h)), _whole((1, three_h)),         # wqkv, bqkv
@@ -329,13 +360,14 @@ def _run_forward(x, mask, flat, seed, n_heads, attn_rate, out_rate,
                  interpret):
     b, s, h = x.shape
     f = flat["w1"].shape[1]
+    cell_b = _cell_b_for(b)
     kernel = functools.partial(
         _fwd_kernel, n_heads=n_heads, head_dim=h // n_heads,
-        attn_rate=attn_rate, out_rate=out_rate)
+        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(b,),
-        in_specs=_weight_specs(b, s, h, f, 3 * h),
-        out_specs=pl.BlockSpec((1, s, h), lambda i, *_: (i, 0, 0),
+        num_scalar_prefetch=1, grid=(b // cell_b,),
+        in_specs=_weight_specs(b, s, h, f, 3 * h, cell_b),
+        out_specs=pl.BlockSpec((cell_b, s, h), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -348,13 +380,14 @@ def _run_backward(x, mask, flat, seed, dy, n_heads, attn_rate, out_rate,
                   interpret):
     b, s, h = x.shape
     f = flat["w1"].shape[1]
+    cell_b = _cell_b_for(b)
     kernel = functools.partial(
         _bwd_kernel, n_heads=n_heads, head_dim=h // n_heads,
-        attn_rate=attn_rate, out_rate=out_rate)
-    in_specs = _weight_specs(b, s, h, f, 3 * h) + [
-        pl.BlockSpec((1, s, h), lambda i, *_: (i, 0, 0),
+        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b)
+    in_specs = _weight_specs(b, s, h, f, 3 * h, cell_b) + [
+        pl.BlockSpec((cell_b, s, h), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM)]               # dy
-    out_specs = [pl.BlockSpec((1, s, h), lambda i, *_: (i, 0, 0),
+    out_specs = [pl.BlockSpec((cell_b, s, h), lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)]      # dx
     out_shapes = [jax.ShapeDtypeStruct((b, s, h), x.dtype)]
     for name in _W_ORDER:
@@ -362,7 +395,7 @@ def _run_backward(x, mask, flat, seed, dy, n_heads, attn_rate, out_rate,
         out_specs.append(_whole(shape))
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(b,),
+        num_scalar_prefetch=1, grid=(b // cell_b,),
         in_specs=in_specs, out_specs=out_specs)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,
