@@ -57,3 +57,36 @@ class Recommender:
 
         best = int(jnp.argmax(logits + jnp.asarray(mask)))
         return self.dataloader.tokenizer.detokenize(best)
+
+    # ------------------------------------------------------------------ #
+    # batched serving (no reference counterpart: the reference recommends
+    # one history per python call; this scores a whole request batch in
+    # one jitted forward + top-k)
+    # ------------------------------------------------------------------ #
+
+    def recommend_batch(self, sequences, top_k: int = 1):
+        """Top-k next-item recommendations for many histories at once.
+
+        :param sequences: list of raw item-string histories
+        :param top_k: recommendations per history
+        :returns: list (per history) of lists of item strings, best first;
+            already-seen items and special tokens are excluded.
+        """
+        per_seq = [self.dataloader.prepare_inference(list(s))
+                   for s in sequences]
+        batch = {k: np.concatenate([d[k] for d in per_seq])
+                 for k in per_seq[0]}
+        outputs = self._forward(self.params,
+                                {k: jnp.asarray(v) for k, v in batch.items()})
+        logits = np.array(outputs["mlm_logits"][:, 0], dtype=np.float32)
+
+        vocab_size = logits.shape[-1]
+        tok = self.dataloader.tokenizer
+        for i, seq in enumerate(sequences):
+            seen = np.asarray(tok.tokenize(list(seq)), dtype=np.int64)
+            logits[i, seen[seen < vocab_size]] = -np.inf
+        for sid in self.model.special_token_ids:
+            logits[:, sid] = -np.inf
+
+        top = np.argsort(-logits, axis=-1)[:, :top_k]
+        return [[tok.detokenize(int(t)) for t in row] for row in top]

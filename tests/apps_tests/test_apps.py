@@ -72,3 +72,27 @@ class TestRanker:
         ranker = Ranker(model, params, dataloader)
         with pytest.raises(ValueError):
             ranker(vocab[:5])
+
+
+class TestBatchRecommender:
+
+    def test_recommend_batch(self, setup):
+        model, params, dataloader, vocab = setup
+        recommender = Recommender(model, params, dataloader)
+        histories = [vocab[:4], vocab[5:9], vocab[10:13]]
+        results = recommender.recommend_batch(histories, top_k=3)
+        assert len(results) == 3
+        for history, recs in zip(histories, results):
+            assert len(recs) == 3
+            assert len(set(recs)) == 3
+            for r in recs:
+                assert r in vocab
+                assert r not in history
+
+    def test_batch_matches_single(self, setup):
+        model, params, dataloader, vocab = setup
+        recommender = Recommender(model, params, dataloader)
+        history = vocab[:5]
+        single = recommender(history)
+        batched = recommender.recommend_batch([history], top_k=1)[0][0]
+        assert single == batched
