@@ -141,10 +141,12 @@ class BERT4RecEvaluator(BaseEvaluator):
 
         # exclusion set per masked position: the sequence's labels + gt
         # (reference :90-95; gt is itself a label so the set is per-sequence)
-        seq_without = [labels[i][labels[i] != 0].tolist() for i in range(b)]
+        # — kept as int arrays so the sampler's vectorized scatter applies
+        seq_without = [labels[i][labels[i] != 0] for i in range(b)]
         rows, cols = np.nonzero(valid)
-        without_lists = [seq_without[i] + [int(gt_ids[i, j])]
-                         for i, j in zip(rows, cols)]
+        without_lists = [
+            np.concatenate([seq_without[i], gt_ids[i, j:j + 1]])
+            for i, j in zip(rows, cols)]
         if not without_lists:
             return np.empty(0, dtype=np.int64)
 
