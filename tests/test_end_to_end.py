@@ -122,3 +122,39 @@ class TestShardedEndToEnd:
         for k in res_single:
             np.testing.assert_allclose(res_mesh[k], res_single[k],
                                        rtol=1e-6, err_msg=k)
+
+
+class TestRedditScaleSharded:
+
+    def test_reddit_vocab_sharded_training(self):
+        """The one reference workload that needs the vocab-sharded table:
+        Reddit's 335,420-item vocab (+3 specials), reddit_128 encoder,
+        8-way 'model'-axis sharding. Initial loss must be ~ln(V) — a
+        uniform softmax over the true vocab — proving the padded,
+        sharded tied softmax is numerically right at scale."""
+        from jax.sharding import PartitionSpec as P
+
+        vocab_size = 335423  # 335,420 items + [PAD]/[MASK]/[UNK]
+        mesh = create_mesh(MeshConfig(model_parallelism=8))
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=vocab_size, hidden_size=128, num_layers=2,
+            num_attention_heads=4, inner_dim=512, max_sequence_length=200,
+            max_predictions_per_seq=40, vocab_pad_to=1024))
+        trainer = BERT4RecTrainer(model, mesh=mesh)
+        trainer.initialize_model(rng=jax.random.key(0))
+
+        emb = trainer.state["params"]["encoder"]["item_embeddings"]["embedding"]
+        assert emb.sharding.spec == P("model", None)
+        assert trainer.state["params"]["mlm"]["output_bias"].sharding.spec \
+            == P("model")
+
+        rng = np.random.default_rng(0)
+        seqs = [rng.integers(3, vocab_size,
+                             size=int(rng.integers(20, 200))).astype(np.int32)
+                for _ in range(32)]
+        cfg = MaskingConfig(max_seq_len=200, max_predictions_per_seq=40,
+                            mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                            masked_lm_rate=0.2)
+        h = trainer.train(ProcessedDataset(seqs, cfg, lambda: vocab_size),
+                          epochs=1, batch_size=16, verbose=False)
+        assert abs(h.history["loss"][0] - np.log(vocab_size)) < 1.0
