@@ -47,15 +47,20 @@ class BERT4RecTrainer(BaseTrainer):
     def initialize_model(self,
                          optimizer=None,
                          loss=None,
+                         metrics: Optional[dict] = None,
                          params: Optional[dict] = None,
                          rng: Optional[jax.Array] = None) -> None:
-        """Build optimizer/loss defaults and the train state
-        (reference initialize_model, bert4rec_trainer.py:13-35)."""
+        """Build optimizer/loss/metric defaults and the train state
+        (reference initialize_model, bert4rec_trainer.py:13-35).
+
+        ``metrics``: optional ``{name: fn(y_true, logits)}`` overrides —
+        supplying them (or a custom ``loss``) routes the step through the
+        explicit logits path instead of the model's fused loss."""
         self.optimizer = optimizers.get(optimizer if optimizer is not None
                                         else "adamw")
-        self._custom_loss = loss is not None
+        self._custom_loss = loss is not None or metrics is not None
         self.loss = loss or trainer_utils.masked_sparse_categorical_crossentropy
-        self.metrics = {
+        self.metrics = metrics if metrics is not None else {
             "masked_accuracy": trainer_utils.masked_accuracy,
             "accuracy": trainer_utils.sparse_categorical_accuracy,
         }

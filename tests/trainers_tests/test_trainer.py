@@ -225,3 +225,19 @@ class TestTrainerSharded:
         # training continues after restore
         h = trainer2.train(ds, epochs=1, batch_size=32, verbose=False)
         assert np.isfinite(h.history["loss"][0])
+
+    def test_custom_metrics_override(self):
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        calls = {}
+
+        def my_metric(y_true, logits):
+            calls["hit"] = True
+            return jnp.float32(0.5)
+
+        trainer.initialize_model(metrics={"my_metric": my_metric},
+                                 rng=jax.random.key(0))
+        ds = make_dataset(n=32)
+        h = trainer.train(ds, epochs=1, batch_size=16, verbose=False)
+        assert "my_metric" in h.history
+        np.testing.assert_allclose(h.history["my_metric"][0], 0.5)
