@@ -75,24 +75,18 @@ class PopularRandomSampler(BaseSampler):
             source, vocab, sample_size)
         if source is None:
             raise ValueError(
-                "The source argument has to be given either during the "
-                "initialization of the sampler or as an argument in the "
-                "sample method call when working with the popular random "
-                "sampler.")
+                "PopularRandomSampler needs a source: pass one to the "
+                "constructor or to sample().")
         if vocab is None:
             raise ValueError(
-                "The vocab argument has to be given either during the "
-                "initialization of the sampler or as an argument in the "
-                "sample method call when working with the popular random "
-                "sampler.")
+                "PopularRandomSampler needs a vocab: pass one to the "
+                "constructor or to sample().")
         if allow_duplicates is None:
             allow_duplicates = self.allow_duplicates
         if not allow_duplicates and sample_size > len(vocab):
             raise ValueError(
-                f"When no duplicates are allowed in the final sample then "
-                f"the sample size (given sample size: {sample_size})) can "
-                f"not be greater than the length of the vocab (length of the "
-                f"vocab: {len(vocab)})")
+                f"Cannot draw {sample_size} distinct items from a vocab of "
+                f"only {len(vocab)} (duplicates are disallowed).")
 
         self._ensure_distribution(source, vocab)
         rng = np.random.default_rng(seed) if seed is not None else self._rng
@@ -100,9 +94,9 @@ class PopularRandomSampler(BaseSampler):
         without_idx = self._without_indices(without)
         if not allow_duplicates and sample_size > len(vocab) - len(without_idx):
             raise ValueError(
-                f"The given without list (length: {len(without_idx)}) reduces "
-                f"the vocab (length: {len(vocab)}) too much to take a sample "
-                f"of size {sample_size} (since no duplicates are allowed).")
+                f"Excluding {len(without_idx)} items leaves fewer than "
+                f"{sample_size} of the {len(vocab)}-item vocab to sample "
+                f"without replacement.")
 
         if allow_duplicates:
             idx = rng.choice(len(vocab), size=sample_size, replace=True,

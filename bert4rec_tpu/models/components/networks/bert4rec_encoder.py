@@ -116,6 +116,18 @@ class Bert4RecEncoder:
                     and cfg.inner_activation == "gelu"
                     and (jax.devices()[0].platform == "tpu"
                          or (attn_rate == 0.0 and out_rate == 0.0)))
+        if fused_ok:
+            # applicability guard: sequence-length cap + VMEM-fit estimate
+            # (a config like the reference encoder defaults, hidden 768 /
+            # S 512, silently falls back instead of dying in Mosaic)
+            from bert4rec_tpu.ops.fused_encoder_layer import (
+                fused_layer_supported,
+            )
+            fused_ok = fused_layer_supported(
+                batch=input_word_ids.shape[0], seq_len=seq_len,
+                hidden=cfg.hidden_size, inner_dim=cfg.inner_dim,
+                num_heads=cfg.num_attention_heads,
+                dtype_bytes=jnp.dtype(compute_dtype).itemsize)
 
         encoder_outputs = []
         for i in range(cfg.num_layers):

@@ -32,6 +32,48 @@ NEG_INF = -1e9
 LN_EPS = 1e-12
 MAX_FUSED_SEQ_LEN = 512
 
+# per-core VMEM is ~16 MB; leave headroom for Mosaic's own buffers.
+# calibrated against the largest measured-working config (hidden 256,
+# inner 1024, S=200 ≈ 12.4 MB by this estimate)
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def estimate_vmem_bytes(*, batch: int, seq_len: int, hidden: int,
+                        inner_dim: int, dtype_bytes: int = 2) -> int:
+    """Rough upper bound on the backward kernel's VMEM working set.
+
+    The backward pass (the larger of the two) holds, per grid cell:
+    all layer weights plus fp32 grad accumulators (both whole-array VMEM
+    blocks), the recomputed fp32 intermediates (qkv, per-head [S, S]
+    score/prob/dropout mats, FFN pre/post activations, ~a dozen [S, H]
+    temps), the x/dy/dx cell blocks in compute dtype, and the whole
+    [B, S] mask.
+    """
+    s, h, f = seq_len, hidden, inner_dim
+    weight_elems = 4 * h * h + 2 * h * f          # wqkv+wo / w1+w2 (+eps)
+    weights = 8 * weight_elems                    # fp32 input + fp32 grad
+    activations = 4 * (13 * s * h + 3 * s * s + 3 * s * f)
+    cell_blocks = 3 * s * h * dtype_bytes
+    mask = batch * s * 4
+    return weights + activations + cell_blocks + mask
+
+
+def fused_layer_supported(*, batch: int, seq_len: int, hidden: int,
+                          inner_dim: int, num_heads: int,
+                          dtype_bytes: int = 2) -> bool:
+    """Whether the whole-layer fusion can run for these dimensions.
+
+    False routes callers to the flash-attention/XLA fallback instead of an
+    opaque Mosaic VMEM-exhaustion error (e.g. the reference encoder
+    defaults, hidden 768 / S 512, whose weights alone exceed VMEM)."""
+    if seq_len > MAX_FUSED_SEQ_LEN:
+        return False
+    if hidden % num_heads != 0 or num_heads + 2 > _SITES_PER_CELL:
+        return False
+    est = estimate_vmem_bytes(batch=batch, seq_len=seq_len, hidden=hidden,
+                              inner_dim=inner_dim, dtype_bytes=dtype_bytes)
+    return est <= VMEM_BUDGET_BYTES
+
 # dropout PRNG sites per batch element: heads 0..N-1, attn-out = N,
 # ffn-out = N + 1
 _SITES_PER_CELL = 64  # upper bound on n_heads + 2, keeps seeds disjoint

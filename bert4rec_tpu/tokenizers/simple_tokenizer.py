@@ -118,23 +118,22 @@ class SimpleTokenizer(BaseTokenizer):
         vocab_file = pathlib.Path(vocab_file)
         if not vocab_file.is_file():
             raise RuntimeError(
-                f"The vocab file does not exist (yet) or is not located at "
-                f"{vocab_file}.")
+                f"No vocab file found at {vocab_file}.")
 
         self.clear_vocab()
         with open(vocab_file, "rb") as f:
             lines = f.readlines()
         if len(lines) <= 0:
-            raise ValueError(f"The given vocab file ({vocab_file}) is empty.")
+            raise ValueError(f"Vocab file {vocab_file} has no lines.")
         first = lines[0].decode("utf-8")
         if self._delimiter not in first:
             raise ValueError(
-                f'The given vocab file ({vocab_file}) does not contain '
-                f'"{self._delimiter}"-separated values.')
+                f'Vocab file {vocab_file} is missing the '
+                f'"{self._delimiter}" delimiter on its first line.')
         if len(first.rstrip("\r\n").split(self._delimiter)) != 2:
             raise ValueError(
-                f'The given vocab file ({vocab_file}) should contain '
-                f'"{self._delimiter}"-separated key-value-pairs per line.')
+                f'Each line of {vocab_file} must be exactly one '
+                f'"{self._delimiter}"-delimited key/id pair.')
 
         for line in lines:
             text = line.decode("utf-8").rstrip("\r\n")

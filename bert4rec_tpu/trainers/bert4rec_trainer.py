@@ -129,7 +129,9 @@ class BERT4RecTrainer(BaseTrainer):
             updates, opt_state = optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
-            logs = {"loss": loss, **logs}
+            logs = {"loss": loss, **logs,
+                    "_n_valid": trainer_utils.n_valid_positions(
+                        batch["masked_lm_ids"])}
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -140,7 +142,9 @@ class BERT4RecTrainer(BaseTrainer):
 
         def eval_step(state, batch):
             loss, logs = loss_and_logs(state["params"], batch, False, None)
-            return {"loss": loss, **logs}
+            return {"loss": loss, **logs,
+                    "_n_valid": trainer_utils.n_valid_positions(
+                        batch["masked_lm_ids"])}
 
         self._train_step_fn = jax.jit(train_step, donate_argnums=0)
         self._eval_step_fn = jax.jit(eval_step)
@@ -228,11 +232,17 @@ class BERT4RecTrainer(BaseTrainer):
                 self.state, logs = self._train_step_fn(self.state, batch)
                 global_step += 1
                 count += 1
+                w = logs.pop("_n_valid")
                 for k, v in logs.items():
-                    sums[k] = sums.get(k, 0.0) + v
+                    # weight per-batch means by their valid-position count so
+                    # the epoch mean is the exact mean over positions, not a
+                    # mean of unequal batch means
+                    sums[k] = sums.get(k, 0.0) + v * w
+                sums["_n_valid"] = sums.get("_n_valid", 0.0) + w
                 if steps_per_epoch and count >= steps_per_epoch:
                     break
-            logs = {k: float(v) / max(count, 1) for k, v in sums.items()}
+            total_w = max(float(sums.pop("_n_valid", 0.0)), 1.0)
+            logs = {k: float(v) / total_w for k, v in sums.items()}
             logs["examples_per_second"] = n_examples / max(
                 time.time() - t0, 1e-9)
 
@@ -269,11 +279,17 @@ class BERT4RecTrainer(BaseTrainer):
             batch = self._put_batch(batch)
             logs = self._eval_step_fn(self.state, batch)
             count += 1
+            w = logs.pop("_n_valid")
             for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + v
+                # exact weighting over unequal/padded batches: pad rows have
+                # masked_lm_ids == 0 so they carry zero weight — this makes
+                # val_masked_accuracy (the checkpoint monitor) exact
+                sums[k] = sums.get(k, 0.0) + v * w
+            sums["_n_valid"] = sums.get("_n_valid", 0.0) + w
             if validation_steps and count >= validation_steps:
                 break
-        return {k: float(v) / max(count, 1) for k, v in sums.items()}
+        total_w = max(float(sums.pop("_n_valid", 0.0)), 1.0)
+        return {k: float(v) / total_w for k, v in sums.items()}
 
     # ------------------------------------------------------------------ #
     # persistence

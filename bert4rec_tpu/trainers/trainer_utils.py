@@ -34,6 +34,17 @@ def masked_accuracy(y_true: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(correct * mask) / total
 
 
+def n_valid_positions(y_true: jnp.ndarray) -> jnp.ndarray:
+    """Count of non-pad MLM positions (``y_true != 0``) in a batch, fp32.
+
+    Used as the per-batch weight when aggregating batch-mean metrics into an
+    epoch mean: ``sum(metric_b * n_valid_b) / sum(n_valid_b)`` is the exact
+    mean over positions even when batches carry unequal numbers of valid
+    positions (or padded rows, which contribute zero weight).
+    """
+    return jnp.sum((y_true != 0).astype(jnp.float32))
+
+
 def sparse_categorical_accuracy(y_true: jnp.ndarray,
                                 logits: jnp.ndarray) -> jnp.ndarray:
     """Unmasked argmax accuracy (Keras SparseCategoricalAccuracy parity,
