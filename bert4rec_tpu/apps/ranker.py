@@ -6,8 +6,15 @@ subset; returns the 1-based rank plus a human-readable string.
 NOTE: the reference *negates* the MLM logits before ranking (ranker.py:29),
 inconsistent with its own Recommender — a documented quirk (SURVEY.md §7)
 we do NOT replicate: higher logit = better rank here, consistently.
+
+TPU-native design: the rank is computed ON DEVICE as a count of
+strictly-greater logits (ties rank ahead, matching the reference's sort
+order) — a plain reduction that GSPMD turns into shard-local sums + one
+psum on a vocab-sharded table, so the full ``[V]`` logits row is never
+gathered to the host (SURVEY.md §7 hard part 3).
 """
 
+import functools
 from typing import List, Optional, Union
 
 import jax
@@ -23,20 +30,37 @@ class Ranker:
         self.model = model
         self.params = params
         self.dataloader = dataloader
-        self._forward = jax.jit(
-            lambda params, inputs: model.apply(params, inputs))
 
-    def _logits(self, sequence: List[str], use_mlm_head: bool) -> np.ndarray:
+        def logits_row(params, inputs, use_mlm_head):
+            """Masked-position logits ``[V]`` (device-resident, possibly
+            vocab-sharded)."""
+            out = model.apply(params, inputs)
+            if use_mlm_head and "mlm_logits" in out:
+                return out["mlm_logits"][0, 0]
+            # tied-matmul fallback (reference ranker.py:38-54)
+            pos = inputs["masked_lm_positions"][0, 0]
+            hidden = jnp.take(out["sequence_output"][0], pos, axis=0)
+            table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+            return jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
+                              table.astype(jnp.float32))
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def rank_one(params, inputs, item_id, use_mlm_head):
+            logits = logits_row(params, inputs, use_mlm_head)
+            target = jnp.take(logits, item_id)
+            return jnp.sum((logits > target).astype(jnp.int32)) + 1
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def candidate_order(params, inputs, candidate_ids, use_mlm_head):
+            logits = logits_row(params, inputs, use_mlm_head)
+            return jnp.argsort(-jnp.take(logits, candidate_ids))
+
+        self._rank_one = rank_one
+        self._candidate_order = candidate_order
+
+    def _inputs(self, sequence: List[str]) -> dict:
         model_input = self.dataloader.prepare_inference(list(sequence))
-        inputs = {k: jnp.asarray(v) for k, v in model_input.items()}
-        outputs = self._forward(self.params, inputs)
-        if use_mlm_head and "mlm_logits" in outputs:
-            return np.asarray(outputs["mlm_logits"][0, 0])
-        pos = int(np.asarray(model_input["masked_lm_positions"])[0, 0])
-        hidden = outputs["sequence_output"][0, pos]
-        table = Bert4RecEncoder.get_embedding_table(self.params["encoder"])
-        return np.asarray(jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
-                                     table.astype(jnp.float32)))
+        return {k: jnp.asarray(v) for k, v in model_input.items()}
 
     def __call__(self, sequence: List[str],
                  rank_item: Optional[str] = None,
@@ -49,20 +73,21 @@ class Ranker:
         """
         if rank_item is None and rank_items is None:
             raise ValueError("Provide rank_item or rank_items to rank.")
-        logits = self._logits(sequence, use_mlm_head)
-
+        inputs = self._inputs(sequence)
         tok = self.dataloader.tokenizer
+
         if rank_items is not None:
-            candidate_ids = np.asarray(tok.tokenize(list(rank_items)),
-                                       dtype=np.int64)
-            cand_logits = logits[candidate_ids]
-            order = np.argsort(-cand_logits)
+            candidate_ids = jnp.asarray(tok.tokenize(list(rank_items)),
+                                        dtype=jnp.int32)
+            order = np.asarray(self._candidate_order(
+                self.params, inputs, candidate_ids, use_mlm_head))
             return [(rank_items[i], int(r) + 1)
                     for r, i in zip(range(len(order)), order)]
 
-        item_id = int(tok.tokenize(rank_item))
+        item_id = jnp.asarray(int(tok.tokenize(rank_item)), jnp.int32)
         # 1-based rank within the full vocab (ties rank ahead, stable)
-        rank = int((logits > logits[item_id]).sum()) + 1
+        rank = int(self._rank_one(self.params, inputs, item_id, use_mlm_head))
         text = (f"The item '{rank_item}' was ranked {rank} out of "
-                f"{logits.shape[-1]} items for the given sequence.")
+                f"{self.model.config.vocab_size} items for the given "
+                f"sequence.")
         return rank, text

@@ -8,6 +8,7 @@ The tied-embedding matmul fallback (reference :38-54, used when a model has
 no MLM head) is ``use_mlm_head=False``: scores = sequence_output @ table^T.
 """
 
+import functools
 from typing import List
 
 import jax
@@ -19,12 +20,21 @@ from bert4rec_tpu.models.components.networks import Bert4RecEncoder
 
 class Recommender:
 
-    def __init__(self, model, params, dataloader):
+    def __init__(self, model, params, dataloader, mesh=None):
         self.model = model
         self.params = params
         self.dataloader = dataloader
+        self.mesh = mesh
         self._forward = jax.jit(
             lambda params, inputs: model.apply(params, inputs))
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def topk_fn(params, inputs, exclude, k):
+            ids, scores = model.rank_top_k(
+                params, inputs, k, mesh=self.mesh, exclude=exclude)
+            return ids[:, 0], scores[:, 0]
+
+        self._topk_fn = topk_fn
 
     def __call__(self, sequence: List[str],
                  use_mlm_head: bool = True) -> str:
@@ -71,22 +81,31 @@ class Recommender:
         :param top_k: recommendations per history
         :returns: list (per history) of lists of item strings, best first;
             already-seen items and special tokens are excluded.
+
+        The scoring runs entirely on device through
+        :meth:`BERT4RecModel.rank_top_k` (shard-local top-k + merge): the
+        ``[B, V]`` logits never reach the host, and on a vocab-sharded
+        table they are never even gathered across shards.
         """
+        tok = self.dataloader.tokenizer
         per_seq = [self.dataloader.prepare_inference(list(s))
                    for s in sequences]
-        batch = {k: np.concatenate([d[k] for d in per_seq])
+        batch = {k: jnp.asarray(np.concatenate([d[k] for d in per_seq]))
                  for k in per_seq[0]}
-        outputs = self._forward(self.params,
-                                {k: jnp.asarray(v) for k, v in batch.items()})
-        logits = np.array(outputs["mlm_logits"][:, 0], dtype=np.float32)
 
-        vocab_size = logits.shape[-1]
-        tok = self.dataloader.tokenizer
-        for i, seq in enumerate(sequences):
-            seen = np.asarray(tok.tokenize(list(seq)), dtype=np.int64)
-            logits[i, seen[seen < vocab_size]] = -np.inf
-        for sid in self.model.special_token_ids:
-            logits[:, sid] = -np.inf
+        specials = list(self.model.special_token_ids)
+        seen_lists = [np.asarray(tok.tokenize(list(s)), dtype=np.int32)
+                      for s in sequences]
+        width = max(len(s) for s in seen_lists) + len(specials)
+        # pad the exclusion width to a power of two: one compiled kernel
+        # serves many request shapes
+        width = max(8, 1 << (width - 1).bit_length())
+        exclude = np.full((len(sequences), width), -1, dtype=np.int32)
+        for i, seen in enumerate(seen_lists):
+            row = np.concatenate([seen, np.asarray(specials, np.int32)])
+            exclude[i, :len(row)] = row
 
-        top = np.argsort(-logits, axis=-1)[:, :top_k]
-        return [[tok.detokenize(int(t)) for t in row] for row in top]
+        ids, _ = self._topk_fn(self.params, batch, jnp.asarray(exclude),
+                               int(top_k))
+        return [[tok.detokenize(int(t)) for t in row]
+                for row in np.asarray(ids)]

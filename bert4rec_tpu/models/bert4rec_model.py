@@ -178,29 +178,71 @@ class BERT4RecModel:
     # ------------------------------------------------------------------ #
 
     def rank_with_candidates(self, params: dict, inputs: dict,
-                             candidates: jnp.ndarray) -> tuple:
+                             candidates: jnp.ndarray, *,
+                             with_probabilities: bool = True) -> tuple:
         """Rank per-position candidate item lists.
 
         :param candidates: ``[B, P, C]`` int ids per masked position
         :returns: ``(rankings [B, P, C] ids ordered best-first,
-                     probabilities [B, P, V] softmax over the full vocab)``
+                     probabilities [B, P, V] softmax over the full vocab —
+                     None when ``with_probabilities=False``)``
         """
         outputs = self.apply(params, inputs)
         logits = outputs["mlm_logits"]  # [B, P, V]
-        probabilities = jax.nn.softmax(logits, axis=-1)
+        probabilities = (jax.nn.softmax(logits, axis=-1)
+                         if with_probabilities else None)
         cand_logits = jnp.take_along_axis(logits, candidates, axis=-1)
         order = jnp.argsort(-cand_logits, axis=-1)
         rankings = jnp.take_along_axis(candidates, order, axis=-1)
         return rankings, probabilities
 
-    def rank_full_vocab(self, params: dict, inputs: dict) -> tuple:
+    def rank_full_vocab(self, params: dict, inputs: dict, *,
+                        with_probabilities: bool = True) -> tuple:
         """Rank the entire vocabulary per masked position:
-        ``rankings [B, P, V]`` best-first + softmax probabilities."""
+        ``rankings [B, P, V]`` best-first (+ softmax probabilities, or None
+        when ``with_probabilities=False`` — callers that only need rankings
+        skip a [B, P, V] exp/normalize pass).
+
+        For top-k-only consumers on a vocab-sharded table use
+        :meth:`rank_top_k`, which never gathers the full logits."""
         outputs = self.apply(params, inputs)
         logits = outputs["mlm_logits"]
-        probabilities = jax.nn.softmax(logits, axis=-1)
+        probabilities = (jax.nn.softmax(logits, axis=-1)
+                         if with_probabilities else None)
         rankings = jnp.argsort(-logits, axis=-1)
         return rankings, probabilities
+
+    def rank_top_k(self, params: dict, inputs: dict, k: int, *,
+                   mesh=None,
+                   exclude: Optional[jnp.ndarray] = None,
+                   with_probabilities: bool = False) -> tuple:
+        """Top-k full-vocab ranking without replicating ``[B, P, V]``.
+
+        Per-vocab-shard ``lax.top_k`` + merge (ops/sharded_topk.py) — the
+        sharded-table answer to the reference's full-vocab ``rank_items``
+        (reference bert4rec_model.py:203-240; SURVEY.md §7 hard part 3).
+
+        :param mesh: the 'model'-sharded mesh the params live on (aligns the
+            shard-local pass with the table's shards); None is correct too
+        :param exclude: optional ``[B, E]`` int ids (< 0 = padding) excluded
+            per batch row across all positions (seen items, special tokens)
+        :param with_probabilities: also return softmax probabilities of the
+            top-k items (one logsumexp over V — no full softmax tensor)
+        :returns: ``(top_ids [B, P, k], top_scores [B, P, k])`` — scores are
+            logits, or probabilities with ``with_probabilities``
+        """
+        from bert4rec_tpu.ops import sharded_topk
+        outputs = self.apply(params, inputs)
+        logits = outputs["mlm_logits"]                      # [B, P, V]
+        if exclude is not None:
+            bias = sharded_topk.exclusion_bias(
+                jnp.asarray(exclude), logits.shape[-1])
+            logits = logits + bias[:, None, :]
+        values, ids = sharded_topk.topk_over_vocab(logits, k, mesh=mesh)
+        if with_probabilities:
+            lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            return ids, jnp.exp(values - lse)
+        return ids, values
 
     def rank_items(self, params: dict, encoder_input: dict,
                    rank_items_list: Optional[jnp.ndarray] = None) -> tuple:

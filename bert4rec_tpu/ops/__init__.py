@@ -15,6 +15,8 @@ from bert4rec_tpu.ops.flash_attention import flash_attention, mha_reference
 from bert4rec_tpu.ops.candidate_scoring import (
     score_candidates, score_candidates_reference,
 )
+from bert4rec_tpu.ops.sharded_topk import exclusion_bias, topk_over_vocab
 
 __all__ = ["flash_attention", "mha_reference", "score_candidates",
-           "score_candidates_reference"]
+           "score_candidates_reference", "topk_over_vocab",
+           "exclusion_bias"]

@@ -3,6 +3,7 @@ implications): the model must actually LEARN sequential structure, and the
 full train+eval flow must hold together on a multi-device mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -158,3 +159,25 @@ class TestRedditScaleSharded:
         h = trainer.train(ProcessedDataset(seqs, cfg, lambda: vocab_size),
                           epochs=1, batch_size=16, verbose=False)
         assert abs(h.history["loss"][0] - np.log(vocab_size)) < 1.0
+
+        # full-vocab top-k ranking on the sharded table (VERDICT r1 #5):
+        # shard-local top-k + merge — never replicates [B, P, 335k]
+        inputs = {
+            "input_word_ids": jnp.asarray(
+                np.stack([np.pad(s[:200], (0, max(0, 200 - len(s))))
+                          for s in seqs[:2]]).astype(np.int32)),
+            "input_mask": jnp.asarray(
+                np.stack([(np.arange(200) < min(len(s), 200))
+                          for s in seqs[:2]]).astype(np.int32)),
+            "masked_lm_positions": jnp.asarray([[0, 1], [2, 3]], jnp.int32),
+        }
+        k = 10
+        fn = jax.jit(lambda p, i: model.rank_top_k(p, i, k, mesh=mesh))
+        ids, scores = fn(trainer.state["params"], inputs)
+        assert ids.shape == (2, 2, k)
+        # equal to the dense answer (dense path only lives in this test)
+        logits = model.apply(trainer.state["params"], inputs)["mlm_logits"]
+        dvals, dids = jax.lax.top_k(logits, k)
+        np.testing.assert_allclose(np.asarray(scores), np.asarray(dvals),
+                                   rtol=1e-5)
+        assert np.all(np.asarray(ids) < vocab_size)  # pad ids never surface
