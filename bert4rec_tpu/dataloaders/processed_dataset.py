@@ -129,7 +129,11 @@ class ProcessedDataset:
 
     def materialize(self, seed: Optional[int] = None,
                     indices: Optional[np.ndarray] = None) -> dict:
-        """Produce the full epoch's feature dict (fresh masks from ``seed``).
+        """Produce a feature dict for all rows (or just ``indices``) with
+        fresh masks from ``seed``. Pure: never mutates shared state — the
+        per-epoch random crop windows of over-long rows are drawn into the
+        local output arrays, so concurrent callers and datasets sharing
+        sequences never observe each other's crops.
 
         Emits the reference's exact feature contract
         (bert4rec_preprocessor.py:101-114): ``labels``, ``input_word_ids``,
@@ -140,27 +144,33 @@ class ProcessedDataset:
         cfg = self.config
         rng = np.random.default_rng(seed)
 
-        # refresh the random crop window of over-long training rows
-        # (reference bert4rec_preprocessor.py:59-67; aligned with timestamps)
-        for i in self._long_rows:
-            seq = self.sequences[i]
-            start = int(rng.integers(0, len(seq) - cfg.max_seq_len + 1))
-            self._cache_ids[i] = seq[start:start + cfg.max_seq_len]
-            if self._cache_ts is not None:
-                self._cache_ts[i] = np.asarray(
-                    self.timestamps[i])[start:start + cfg.max_seq_len]
-
         if indices is None:
+            sel = np.arange(len(self.sequences))
             input_ids = self._cache_ids.copy()
             lengths = self._cache_len
             ft = self.finetuning
-            ts_pad = self._cache_ts
-        else:
-            input_ids = self._cache_ids[indices]
-            lengths = self._cache_len[indices]
-            ft = self.finetuning[indices]
-            ts_pad = (self._cache_ts[indices]
+            ts_pad = (self._cache_ts.copy()
                       if self._cache_ts is not None else None)
+        else:
+            sel = np.asarray(indices)
+            input_ids = self._cache_ids[sel]
+            lengths = self._cache_len[sel]
+            ft = self.finetuning[sel]
+            ts_pad = (self._cache_ts[sel]
+                      if self._cache_ts is not None else None)
+
+        # fresh random crop window for the selected over-long training rows
+        # (reference bert4rec_preprocessor.py:59-67; aligned w/ timestamps),
+        # written into the LOCAL arrays only
+        if self._long_rows.size:
+            local = np.nonzero(np.isin(sel, self._long_rows))[0]
+            for j in local:
+                seq = self.sequences[sel[j]]
+                start = int(rng.integers(0, len(seq) - cfg.max_seq_len + 1))
+                input_ids[j] = seq[start:start + cfg.max_seq_len]
+                if ts_pad is not None:
+                    ts_pad[j] = np.asarray(
+                        self.timestamps[sel[j]])[start:start + cfg.max_seq_len]
         input_mask = (np.arange(cfg.max_seq_len)[None, :]
                       < lengths[:, None]).astype(np.int32)
 
@@ -200,14 +210,53 @@ class ProcessedDataset:
 
         return features
 
+    # chunked streaming: bound host memory to O(chunk) instead of O(epoch)
+    # (SURVEY.md §7 hard part 4 — ML-20M×dup scale epochs are multi-GB when
+    # materialized whole)
+    DEFAULT_CHUNK_BATCHES = 64
+
     def batches(self,
                 batch_size: int,
                 shuffle: bool = True,
                 seed: Optional[int] = None,
                 drop_remainder: bool = False,
-                pad_final_batch: bool = False):
-        """Yield fixed-shape feature batches, re-masking this epoch."""
-        features = self.materialize(seed)
-        yield from utils.make_batches(
-            features, batch_size, shuffle=shuffle, seed=seed,
-            drop_remainder=drop_remainder, pad_final_batch=pad_final_batch)
+                pad_final_batch: bool = False,
+                chunk_size: Optional[int] = None):
+        """Yield fixed-shape feature batches, re-masking this epoch.
+
+        The epoch is masked in chunks of ``chunk_size`` rows (default
+        ``64 * batch_size``): the global shuffle happens on indices first,
+        then each chunk is materialized (pure) and sliced sequentially —
+        identical distribution to whole-epoch materialization with host
+        memory bounded by the chunk size.
+        """
+        n = len(self.sequences)
+        if chunk_size is None:
+            chunk_size = self.DEFAULT_CHUNK_BATCHES * batch_size
+        # chunks must be batch-aligned so only the epoch's final batch can
+        # be partial
+        chunk_size = max((chunk_size // batch_size) * batch_size, batch_size)
+
+        if chunk_size >= n:
+            features = self.materialize(seed)
+            yield from utils.make_batches(
+                features, batch_size, shuffle=shuffle, seed=seed,
+                drop_remainder=drop_remainder,
+                pad_final_batch=pad_final_batch)
+            return
+
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, n, chunk_size):
+            idx = order[start:start + chunk_size]
+            # a distinct masking stream per (epoch seed, chunk)
+            chunk_seed = (None if seed is None else
+                          int(np.random.default_rng(
+                              [int(seed), start]).integers(0, 2 ** 31)))
+            features = self.materialize(chunk_seed, indices=idx)
+            last = start + chunk_size >= n
+            yield from utils.make_batches(
+                features, batch_size, shuffle=False,
+                drop_remainder=drop_remainder and last,
+                pad_final_batch=pad_final_batch)
