@@ -43,10 +43,18 @@ class BERT4RecEvaluator(BaseEvaluator):
                  dataloader=None,
                  sample_size: int = 100,
                  seed: Optional[int] = None,
-                 mesh=None):
+                 mesh=None,
+                 device_negatives: Optional[bool] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches and candidate
         tensors are sharded over its 'data' axis so the scoring forward runs
-        data-parallel across chips (rank reduction stays on host)."""
+        data-parallel across chips (rank reduction stays on host).
+
+        ``device_negatives``: draw the popularity-weighted negatives inside
+        the jitted eval computation (ops/negative_sampling.py) instead of on
+        the host — same distribution, different PRNG streams. Default
+        (None): auto-enabled when the sampler exposes a popularity
+        distribution over an integer-id vocab. The host path remains the
+        oracle (``device_negatives=False``)."""
         sampler_config = {"sample_size": sample_size}
         if seed is not None:
             sampler_config["seed"] = seed
@@ -55,7 +63,10 @@ class BERT4RecEvaluator(BaseEvaluator):
         self.sample_size = sample_size
         self.seed = seed
         self.mesh = mesh
+        self.device_negatives = device_negatives
         self._rank_fn_cache = {}
+        self._fused_fn_cache = {}
+        self._batch_counter = 0
 
     # ------------------------------------------------------------------ #
 
@@ -105,6 +116,104 @@ class BERT4RecEvaluator(BaseEvaluator):
         return self._rank_fn_cache[key]
 
     # ------------------------------------------------------------------ #
+    # device-side negative sampling (VERDICT r1 #3)
+    # ------------------------------------------------------------------ #
+
+    def _device_sampling_available(self) -> bool:
+        if self.device_negatives is False:
+            return False
+        s = self.sampler
+        return (getattr(s, "_probs", None) is not None
+                and callable(getattr(s, "_int_id_lut", None))
+                and s._int_id_lut() is not None)
+
+    def _fused_rank_fn(self, model):
+        """One jitted computation per (model, sampler distribution):
+        Gumbel-top-k negatives -> candidate scoring -> gt ranks."""
+        from bert4rec_tpu.ops import negative_sampling as ns
+        key = (id(model), id(self.sampler._probs))
+        if key not in self._fused_fn_cache:
+            logp = ns.popularity_logp(self.sampler._probs)
+            vocab_ids = jnp.asarray(np.asarray(self.sampler.vocab),
+                                    jnp.int32)
+            sample_size = self.sample_size
+
+            def fused(params, batch, without_idx, rng_key):
+                return ns.ranks_with_device_negatives(
+                    model, params, batch, logp=logp, vocab_ids=vocab_ids,
+                    without_idx=without_idx, key=rng_key,
+                    sample_size=sample_size)
+
+            if self.mesh is not None:
+                out_sharding = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec())
+                self._fused_fn_cache[key] = jax.jit(
+                    fused, out_shardings=out_sharding)
+            else:
+                self._fused_fn_cache[key] = jax.jit(fused)
+        return self._fused_fn_cache[key]
+
+    def _build_without_idx(self, labels, gt_ids, valid) -> np.ndarray:
+        """``[B, P, W]`` sampler-vocab indices to exclude per position: the
+        sequence's labels + the ground truth (reference :90-95), padded with
+        ``len(vocab)`` (dropped by the device scatter). W is padded to a
+        power of two so one compiled kernel serves many batches."""
+        lut = self.sampler._int_id_lut()
+        b, p = gt_ids.shape
+        v = len(self.sampler.vocab)
+
+        per_row = []
+        for i in range(b):
+            ids = labels[i][labels[i] != 0]
+            ids = ids[ids < len(lut)]
+            idx = lut[ids]
+            per_row.append(idx[idx >= 0])
+        width = max([len(r) for r in per_row], default=0) + 1
+        width = max(8, 1 << (width - 1).bit_length())
+
+        out = np.full((b, p, width), v, dtype=np.int32)
+        for i, row_idx in enumerate(per_row):
+            out[i, :, :len(row_idx)] = row_idx
+        safe_gt = np.where(gt_ids < len(lut), gt_ids, 0)
+        gt_idx = lut[safe_gt]
+        rows, cols = np.nonzero(valid & (gt_idx >= 0))
+        out[rows, cols, -1] = gt_idx[rows, cols]
+        return out
+
+    def _evaluate_batch_device(self, model, params, batch, labels,
+                               gt_ids, valid) -> np.ndarray:
+        without_idx = self._build_without_idx(labels, gt_ids, valid)
+        rng_key = jax.random.fold_in(
+            jax.random.key(self.seed if self.seed is not None else 0),
+            self._batch_counter)
+        self._batch_counter += 1
+
+        feature_batch = {k: v for k, v in batch.items()
+                         if k not in ("labels", "example_weights")}
+        without = jnp.asarray(without_idx)
+        if self.mesh is not None:
+            from bert4rec_tpu.core import partitioning
+            shard = {k: jax.sharding.NamedSharding(
+                self.mesh, partitioning.make_batch_specs(
+                    {"x": np.asarray(v)})["x"])
+                for k, v in feature_batch.items()}
+            w_shard = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data"))
+            if jax.process_count() > 1:
+                feature_batch = {
+                    k: jax.make_array_from_process_local_data(
+                        shard[k], np.asarray(v))
+                    for k, v in feature_batch.items()}
+                without = jax.make_array_from_process_local_data(
+                    w_shard, without_idx)
+            else:
+                feature_batch = jax.device_put(feature_batch, shard)
+                without = jax.device_put(without, w_shard)
+        ranks = np.asarray(self._fused_rank_fn(model)(
+            params, feature_batch, without, rng_key))
+        return ranks[valid]
+
+    # ------------------------------------------------------------------ #
 
     def _sample_negatives(self, without_lists, n: int) -> np.ndarray:
         """[N, sample_size] negative ids, one row per masked position."""
@@ -138,6 +247,14 @@ class BERT4RecEvaluator(BaseEvaluator):
             batch["masked_lm_ids"] = gt_ids
             batch["masked_lm_weights"] = weights
             p = p_used
+
+        if not valid.any():
+            return np.empty(0, dtype=np.int64)
+
+        if (self._device_sampling_available()
+                and hasattr(model, "score_candidates")):
+            return self._evaluate_batch_device(model, params, batch,
+                                               labels, gt_ids, valid)
 
         # exclusion set per masked position: the sequence's labels + gt
         # (reference :90-95; gt is itself a label so the set is per-sequence)
@@ -190,6 +307,7 @@ class BERT4RecEvaluator(BaseEvaluator):
         if params is None and hasattr(model, "params"):
             model, params = model.model, model.params
         self._prepare_sampler()
+        self._batch_counter = 0  # deterministic device-sampling streams
 
         if hasattr(test_ds, "batches"):
             # a mesh needs device-divisible batches: zero-pad the final one
