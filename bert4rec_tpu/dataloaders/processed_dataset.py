@@ -116,6 +116,37 @@ class ProcessedDataset:
     def cardinality(self) -> int:
         return len(self.sequences)
 
+    def select(self, indices) -> "ProcessedDataset":
+        """A new dataset holding the given rows (shared immutable seqs)."""
+        idx = np.asarray(indices)
+        ts = ([self.timestamps[i] for i in idx]
+              if self.timestamps is not None else None)
+        return ProcessedDataset(
+            [self.sequences[i] for i in idx], self.config,
+            self.vocab_size_fn, self.apply_mlm, self.finetuning[idx], ts)
+
+    def shard_for_process(self,
+                          process_index: Optional[int] = None,
+                          process_count: Optional[int] = None
+                          ) -> "ProcessedDataset":
+        """This process's disjoint slice of the dataset for multi-host runs.
+
+        Every process must call this on the SAME (identically-ordered)
+        dataset; rows are strided ``index::count`` and truncated so all
+        processes hold exactly ``n // count`` rows — equal step counts per
+        epoch keep the collective schedules in lockstep across hosts.
+
+        Defaults come from the jax runtime
+        (``jax.process_index/process_count``).
+        """
+        import jax
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        if not 0 <= pi < pc:
+            raise ValueError(f"process_index {pi} outside [0, {pc})")
+        usable = (len(self.sequences) // pc) * pc
+        return self.select(np.arange(pi, usable, pc))
+
     def concatenate(self, other: "ProcessedDataset") -> "ProcessedDataset":
         ts = None
         if self.timestamps is not None and other.timestamps is not None:

@@ -44,7 +44,8 @@ class BERT4RecEvaluator(BaseEvaluator):
                  sample_size: int = 100,
                  seed: Optional[int] = None,
                  mesh=None,
-                 device_negatives: Optional[bool] = None):
+                 device_negatives: Optional[bool] = None,
+                 static_shapes: Optional[bool] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches and candidate
         tensors are sharded over its 'data' axis so the scoring forward runs
         data-parallel across chips (rank reduction stays on host).
@@ -54,7 +55,11 @@ class BERT4RecEvaluator(BaseEvaluator):
         the host — same distribution, different PRNG streams. Default
         (None): auto-enabled when the sampler exposes a popularity
         distribution over an integer-id vocab. The host path remains the
-        oracle (``device_negatives=False``)."""
+        oracle (``device_negatives=False``).
+
+        ``static_shapes``: use data-independent tensor shapes (no P-slicing,
+        fixed exclusion width). Auto-enabled for multi-host runs, where every
+        process must assemble identically-shaped global arrays."""
         sampler_config = {"sample_size": sample_size}
         if seed is not None:
             sampler_config["seed"] = seed
@@ -64,6 +69,7 @@ class BERT4RecEvaluator(BaseEvaluator):
         self.seed = seed
         self.mesh = mesh
         self.device_negatives = device_negatives
+        self.static_shapes = static_shapes
         self._rank_fn_cache = {}
         self._fused_fn_cache = {}
         self._batch_counter = 0
@@ -104,7 +110,11 @@ class BERT4RecEvaluator(BaseEvaluator):
                 gt = cand[..., -1:]
                 beaten = jnp.sum((cand[..., :-1] >= gt).astype(jnp.int32),
                                  axis=-1)
-                return beaten + 1  # [B, P]
+                # invalid positions -> rank 0, so hosts can filter the
+                # (replicated, possibly global) output without needing a
+                # local-shaped validity mask
+                return jnp.where(batch["masked_lm_weights"] > 0,
+                                 beaten + 1, 0)  # [B, P]
             if self.mesh is not None:
                 # replicate the (tiny) rank output so every host can read it
                 out_sharding = jax.sharding.NamedSharding(
@@ -118,6 +128,12 @@ class BERT4RecEvaluator(BaseEvaluator):
     # ------------------------------------------------------------------ #
     # device-side negative sampling (VERDICT r1 #3)
     # ------------------------------------------------------------------ #
+
+    @property
+    def _static_shapes(self) -> bool:
+        if self.static_shapes is not None:
+            return self.static_shapes
+        return jax.process_count() > 1
 
     def _device_sampling_available(self) -> bool:
         if self.device_negatives is False:
@@ -168,7 +184,12 @@ class BERT4RecEvaluator(BaseEvaluator):
             ids = ids[ids < len(lut)]
             idx = lut[ids]
             per_row.append(idx[idx >= 0])
-        width = max([len(r) for r in per_row], default=0) + 1
+        if self._static_shapes:
+            # data-independent width: every process must assemble the same
+            # global [B, P, W] shape
+            width = labels.shape[1] + 1
+        else:
+            width = max([len(r) for r in per_row], default=0) + 1
         width = max(8, 1 << (width - 1).bit_length())
 
         out = np.full((b, p, width), v, dtype=np.int32)
@@ -211,7 +232,7 @@ class BERT4RecEvaluator(BaseEvaluator):
                 without = jax.device_put(without, w_shard)
         ranks = np.asarray(self._fused_rank_fn(model)(
             params, feature_batch, without, rng_key))
-        return ranks[valid]
+        return ranks[ranks > 0]  # global batch in multi-host runs
 
     # ------------------------------------------------------------------ #
 
@@ -235,8 +256,12 @@ class BERT4RecEvaluator(BaseEvaluator):
         valid = weights > 0
 
         # masked slots fill in ascending order, so valid slots are a prefix
-        # per row: slice P down to the max used (1 for the LOO protocol)
+        # per row: slice P down to the max used (1 for the LOO protocol).
+        # Multi-host runs keep the full P — the slice width is data-dependent
+        # and per-process, so it would desync the global batch assembly.
         p_used = max(int(valid.sum(axis=1).max(initial=0)), 1)
+        if self._static_shapes:
+            p_used = p
         if p_used < p:
             positions = positions[:, :p_used]
             gt_ids = gt_ids[:, :p_used]
@@ -296,7 +321,7 @@ class BERT4RecEvaluator(BaseEvaluator):
                 candidates = jax.device_put(candidates, cand_shard)
         ranks = np.asarray(self._rank_fn(model)(
             params, feature_batch, candidates))
-        return ranks[valid]
+        return ranks[ranks > 0]  # global batch in multi-host runs
 
     def evaluate(self, model, params=None, test_ds=None,
                  batch_size: int = 256, seed: int = 0,

@@ -88,4 +88,6 @@ def ranks_with_device_negatives(model, params, batch: dict, *,
     cand = model.score_candidates(params, batch, candidates)
     gt_logit = cand[..., -1:]
     beaten = jnp.sum((cand[..., :-1] >= gt_logit).astype(jnp.int32), axis=-1)
-    return beaten + 1
+    # invalid positions -> rank 0 (see evaluator: hosts filter > 0 on the
+    # replicated output, which is the global batch in multi-host runs)
+    return jnp.where(batch["masked_lm_weights"] > 0, beaten + 1, 0)

