@@ -34,11 +34,18 @@ from bert4rec_tpu.utils.prefetch import prefetch
 
 class BERT4RecTrainer(BaseTrainer):
 
-    def __init__(self, model, mesh: Optional["jax.sharding.Mesh"] = None):
+    def __init__(self, model, mesh: Optional["jax.sharding.Mesh"] = None,
+                 steps_per_call: int = 1):
+        """``steps_per_call``: train steps executed per device dispatch via
+        ``lax.scan`` over a stacked ``[K, B, ...]`` super-batch — amortizes
+        per-step dispatch/host overhead when the step itself is short
+        (identical math; logs are aggregated over the K steps)."""
         super().__init__(model)
         self.mesh = mesh
+        self.steps_per_call = max(1, int(steps_per_call))
         self.state = None          # {"params", "opt_state", "step", "rng"}
         self._train_step_fn = None
+        self._train_multi_fn = None
         self._eval_step_fn = None
 
     # ------------------------------------------------------------------ #
@@ -147,19 +154,32 @@ class BERT4RecTrainer(BaseTrainer):
                     "_n_valid": trainer_utils.n_valid_positions(
                         batch["masked_lm_ids"])}
 
+        def multi_step(state, stacked):
+            """K sequential train steps in one dispatch (leaves [K, B, ...]);
+            logs come back stacked [K]."""
+            return jax.lax.scan(train_step, state, stacked)
+
         self._train_step_fn = jax.jit(train_step, donate_argnums=0)
+        self._train_multi_fn = jax.jit(multi_step, donate_argnums=0)
         self._eval_step_fn = jax.jit(eval_step)
 
-    def _put_batch(self, batch: dict) -> dict:
+    def _put_batch(self, batch: dict, stacked: bool = False) -> dict:
+        """Device-place one batch (or, ``stacked``, a [K, B, ...] stack of
+        K batches — the batch dim sharded over 'data' is then dim 1)."""
         batch = {k: v for k, v in batch.items()
                  if k != "labels"}  # labels unused by the step fns
         if self.mesh is None:
             return batch
-        shardings = {
-            k: jax.sharding.NamedSharding(
-                self.mesh, partitioning.make_batch_specs(
-                    {"x": np.asarray(v)})["x"])
-            for k, v in batch.items()}
+
+        def spec(v):
+            v = np.asarray(v)
+            base = partitioning.make_batch_specs(
+                {"x": v[0] if stacked else v})["x"]
+            if stacked:
+                base = jax.sharding.PartitionSpec(None, *base)
+            return jax.sharding.NamedSharding(self.mesh, base)
+
+        shardings = {k: spec(v) for k, v in batch.items()}
         if jax.process_count() > 1:
             # multi-host: each process holds its local slice of the global
             # batch; assemble the distributed global array from it
@@ -220,30 +240,70 @@ class BERT4RecTrainer(BaseTrainer):
             n_examples = 0
             # host masking + device_put of batch k+1 overlap step k
             # (double-buffered; VERDICT r1 weak #3)
-            batch_iter = prefetch(
-                train_ds.batches(batch_size, shuffle=True, seed=seed + epoch,
-                                 drop_remainder=True),
-                self._put_batch, depth=2)
-            for batch in batch_iter:
-                n_examples += len(next(iter(batch.values())))
-                if profile_dir is not None:
-                    if global_step == 1 and not profiling:
-                        jax.profiler.start_trace(str(profile_dir))
-                        profiling = True
-                    elif profiling and global_step == 1 + profile_steps:
-                        jax.profiler.stop_trace()
-                        profiling = False
-                self.state, logs = self._train_step_fn(self.state, batch)
-                global_step += 1
-                count += 1
+            k_call = self.steps_per_call
+            raw = train_ds.batches(batch_size, shuffle=True,
+                                   seed=seed + epoch, drop_remainder=True)
+            if k_call > 1:
+                def grouped(it=raw, k=k_call):
+                    buf = []
+                    for b in it:
+                        buf.append(b)
+                        if len(buf) == k:
+                            yield buf
+                            buf = []
+                    if buf:
+                        yield buf
+
+                def put(bufs):
+                    # full groups become one stacked [K, B, ...] dispatch;
+                    # the epoch tail falls back to single steps
+                    if len(bufs) == k_call:
+                        return self._put_batch(
+                            {key: np.stack([b[key] for b in bufs])
+                             for key in bufs[0]}, stacked=True)
+                    return [self._put_batch(b) for b in bufs]
+
+                batch_iter = prefetch(grouped(), put, depth=2)
+            else:
+                batch_iter = prefetch(raw, self._put_batch, depth=2)
+
+            def accumulate(logs, n_steps):
+                nonlocal count, global_step
+                global_step += n_steps
+                count += n_steps
                 w = logs.pop("_n_valid")
                 for k, v in logs.items():
-                    # weight per-batch means by their valid-position count so
-                    # the epoch mean is the exact mean over positions, not a
-                    # mean of unequal batch means
-                    sums[k] = sums.get(k, 0.0) + v * w
-                sums["_n_valid"] = sums.get("_n_valid", 0.0) + w
-                if steps_per_epoch and count >= steps_per_epoch:
+                    # weight per-batch means by their valid-position count
+                    # so the epoch mean is the exact mean over positions,
+                    # not a mean of unequal batch means ([K]-shaped logs
+                    # from multi-step calls reduce the same way)
+                    sums[k] = sums.get(k, 0.0) + jnp.sum(v * w)
+                sums["_n_valid"] = sums.get("_n_valid", 0.0) + jnp.sum(w)
+                return steps_per_epoch and count >= steps_per_epoch
+
+            stop_epoch = False
+            for item in batch_iter:
+                if isinstance(item, dict) and k_call > 1:
+                    first = next(iter(item.values()))
+                    n_examples += first.shape[0] * first.shape[1]
+                    self.state, logs = self._train_multi_fn(self.state, item)
+                    if accumulate(logs, k_call):
+                        break
+                    continue
+                for batch in (item if isinstance(item, list) else [item]):
+                    n_examples += len(next(iter(batch.values())))
+                    if profile_dir is not None:
+                        if global_step == 1 and not profiling:
+                            jax.profiler.start_trace(str(profile_dir))
+                            profiling = True
+                        elif profiling and global_step == 1 + profile_steps:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                    self.state, logs = self._train_step_fn(self.state, batch)
+                    if accumulate(logs, 1):
+                        stop_epoch = True
+                        break
+                if stop_epoch:
                     break
             total_w = max(float(sums.pop("_n_valid", 0.0)), 1.0)
             logs = {k: float(v) / total_w for k, v in sums.items()}

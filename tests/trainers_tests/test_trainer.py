@@ -292,3 +292,43 @@ class TestWeightedMetricAggregation:
             # the two batches are crafted so the naive mean differs
             assert abs(exact - naive) > 1e-7 or k == "masked_accuracy"
         assert "_n_valid" not in got
+
+
+class TestMultiStepDispatch:
+    """steps_per_call > 1 (lax.scan over stacked batches) must be
+    math-identical to single-step dispatch — same data order, same RNG
+    folding, same epoch logs, same final params."""
+
+    def _train(self, steps_per_call, epochs=2):
+        model = make_model()
+        trainer = BERT4RecTrainer(model, steps_per_call=steps_per_call)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=96)  # 6 batches of 16: 1 full stack of 4 + tail 2
+        h = trainer.train(ds, epochs=epochs, batch_size=16, verbose=False,
+                          seed=11)
+        return trainer, h
+
+    def test_identical_to_single_step(self):
+        t1, h1 = self._train(1)
+        t4, h4 = self._train(4)
+        for k in h1.history:
+            if k == "examples_per_second":
+                continue
+            np.testing.assert_allclose(h1.history[k], h4.history[k],
+                                       rtol=1e-5, err_msg=k)
+        for a, b in zip(jax.tree.leaves(t1.state["params"]),
+                        jax.tree.leaves(t4.state["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        assert int(t1.state["step"]) == int(t4.state["step"]) == 12
+
+    def test_multi_step_on_mesh(self):
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(model_parallelism=2))
+        model = make_model()
+        trainer = BERT4RecTrainer(model, mesh=mesh, steps_per_call=2)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=64)
+        h = trainer.train(ds, epochs=2, batch_size=32, verbose=False)
+        assert np.isfinite(h.history["loss"]).all()
+        assert int(trainer.state["step"]) == 4
