@@ -154,7 +154,11 @@ class BERT4RecEvaluator(BaseEvaluator):
                                     jnp.int32)
             sample_size = self.sample_size
 
-            def fused(params, batch, without_idx, rng_key):
+            def fused(params, batch, without_idx, base_key, counter):
+                # fold inside the jit: one dispatch per batch instead of
+                # extra eager RNG ops (per-op overhead is ~ms through the
+                # tunneled TPU)
+                rng_key = jax.random.fold_in(base_key, counter)
                 return ns.ranks_with_device_negatives(
                     model, params, batch, logp=logp, vocab_ids=vocab_ids,
                     without_idx=without_idx, key=rng_key,
@@ -176,25 +180,18 @@ class BERT4RecEvaluator(BaseEvaluator):
         power of two so one compiled kernel serves many batches."""
         lut = self.sampler._int_id_lut()
         b, p = gt_ids.shape
+        s = labels.shape[1]
         v = len(self.sampler.vocab)
+        # one vectorized pass: map every label through the id->vocab-index
+        # LUT; pads / out-of-vocab ids become v (dropped by the device
+        # scatter). Duplicate exclusions are harmless.
+        in_range = (labels > 0) & (labels < len(lut))
+        idx = lut[np.where(in_range, labels, 0)]
+        idx = np.where(in_range & (idx >= 0), idx, v).astype(np.int32)
 
-        per_row = []
-        for i in range(b):
-            ids = labels[i][labels[i] != 0]
-            ids = ids[ids < len(lut)]
-            idx = lut[ids]
-            per_row.append(idx[idx >= 0])
-        if self._static_shapes:
-            # data-independent width: every process must assemble the same
-            # global [B, P, W] shape
-            width = labels.shape[1] + 1
-        else:
-            width = max([len(r) for r in per_row], default=0) + 1
-        width = max(8, 1 << (width - 1).bit_length())
-
+        width = max(8, 1 << s.bit_length())  # >= s + 1, data-independent
         out = np.full((b, p, width), v, dtype=np.int32)
-        for i, row_idx in enumerate(per_row):
-            out[i, :, :len(row_idx)] = row_idx
+        out[:, :, :s] = idx[:, None, :]
         safe_gt = np.where(gt_ids < len(lut), gt_ids, 0)
         gt_idx = lut[safe_gt]
         rows, cols = np.nonzero(valid & (gt_idx >= 0))
@@ -202,11 +199,12 @@ class BERT4RecEvaluator(BaseEvaluator):
         return out
 
     def _evaluate_batch_device(self, model, params, batch, labels,
-                               gt_ids, valid) -> np.ndarray:
+                               gt_ids, valid, fetch: bool = True):
         without_idx = self._build_without_idx(labels, gt_ids, valid)
-        rng_key = jax.random.fold_in(
-            jax.random.key(self.seed if self.seed is not None else 0),
-            self._batch_counter)
+        if getattr(self, "_base_key", None) is None:
+            self._base_key = jax.random.key(
+                self.seed if self.seed is not None else 0)
+        counter = np.int32(self._batch_counter)
         self._batch_counter += 1
 
         feature_batch = {k: v for k, v in batch.items()
@@ -230,8 +228,11 @@ class BERT4RecEvaluator(BaseEvaluator):
             else:
                 feature_batch = jax.device_put(feature_batch, shard)
                 without = jax.device_put(without, w_shard)
-        ranks = np.asarray(self._fused_rank_fn(model)(
-            params, feature_batch, without, rng_key))
+        ranks = self._fused_rank_fn(model)(
+            params, feature_batch, without, self._base_key, counter)
+        if not fetch:
+            return ranks  # device array; caller fetches + filters > 0
+        ranks = np.asarray(ranks)
         return ranks[ranks > 0]  # global batch in multi-host runs
 
     # ------------------------------------------------------------------ #
@@ -246,8 +247,13 @@ class BERT4RecEvaluator(BaseEvaluator):
                 for w in without_lists]
         return np.asarray(rows)
 
-    def evaluate_batch(self, model, params, batch: dict) -> np.ndarray:
-        """Rank ground truths of one feature batch; returns the valid ranks."""
+    def evaluate_batch(self, model, params, batch: dict,
+                       fetch: bool = True) -> np.ndarray:
+        """Rank ground truths of one feature batch; returns the valid ranks.
+
+        ``fetch=False`` returns the raw device ``[B, P]`` rank array
+        (0 = invalid position) without blocking — the evaluate loop uses it
+        to overlap batch k's device compute with batch k+1's host prep."""
         labels = np.asarray(batch["labels"])
         positions = np.asarray(batch["masked_lm_positions"])
         gt_ids = np.asarray(batch["masked_lm_ids"])
@@ -279,7 +285,8 @@ class BERT4RecEvaluator(BaseEvaluator):
         if (self._device_sampling_available()
                 and hasattr(model, "score_candidates")):
             return self._evaluate_batch_device(model, params, batch,
-                                               labels, gt_ids, valid)
+                                               labels, gt_ids, valid,
+                                               fetch=fetch)
 
         # exclusion set per masked position: the sequence's labels + gt
         # (reference :90-95; gt is itself a label so the set is per-sequence)
@@ -319,8 +326,10 @@ class BERT4RecEvaluator(BaseEvaluator):
             else:
                 feature_batch = jax.device_put(feature_batch, shard)
                 candidates = jax.device_put(candidates, cand_shard)
-        ranks = np.asarray(self._rank_fn(model)(
-            params, feature_batch, candidates))
+        ranks = self._rank_fn(model)(params, feature_batch, candidates)
+        if not fetch:
+            return ranks  # device array; caller fetches + filters > 0
+        ranks = np.asarray(ranks)
         return ranks[ranks > 0]  # global batch in multi-host runs
 
     def evaluate(self, model, params=None, test_ds=None,
@@ -349,8 +358,21 @@ class BERT4RecEvaluator(BaseEvaluator):
             except ImportError:
                 pass
 
+        # one-batch lag: fetch batch k's ranks only after dispatching batch
+        # k+1, overlapping device compute with host prep + metric updates
+        pending = None
         for batch in iterator:
-            ranks = self.evaluate_batch(model, params, batch)
-            for metric in self._metrics:
-                metric.update_batch(ranks)
+            ranks = self.evaluate_batch(model, params, batch, fetch=False)
+            if pending is not None:
+                self._update_metrics(pending)
+            pending = ranks
+        if pending is not None:
+            self._update_metrics(pending)
         return self.get_metrics_results()
+
+    def _update_metrics(self, ranks) -> None:
+        ranks = np.asarray(ranks)
+        if ranks.ndim > 1:
+            ranks = ranks[ranks > 0]
+        for metric in self._metrics:
+            metric.update_batch(ranks)
