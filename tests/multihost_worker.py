@@ -100,7 +100,9 @@ class ZippedShards:
 
 def run(train_l, val_l, test_l, batch_size, mesh, model, test_rows):
     from bert4rec_tpu.trainers import BERT4RecTrainer
-    trainer = BERT4RecTrainer(model, mesh=mesh)
+    # steps_per_call=2 also exercises the stacked [K, B, ...] global-batch
+    # assembly under multi-process (math-identical to single-step)
+    trainer = BERT4RecTrainer(model, mesh=mesh, steps_per_call=2)
     trainer.initialize_model(rng=jax.random.key(0))
     history = trainer.train(train_l, val_l, epochs=2,
                             batch_size=batch_size, seed=SEED, verbose=False)
