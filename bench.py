@@ -143,6 +143,22 @@ def main():
     if "--cpu-worker" in sys.argv:
         worker(force_cpu=True)
         return
+    if "--smoke" in sys.argv:
+        # fast offline self-check of the bench plumbing: tiny model, CPU,
+        # a couple of steps — prints the same JSON schema
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        global BATCH, SEQ, NPRED, VOCAB, WARMUP_STEPS
+        BATCH, SEQ, NPRED, VOCAB, WARMUP_STEPS = 8, 16, 4, 50, 1
+        trainer = build(dict(hidden_size=32, num_layers=1, inner_dim=64,
+                             max_sequence_length=SEQ,
+                             max_predictions_per_seq=NPRED))
+        value = measure(trainer, 2)
+        print(json.dumps({
+            "metric": "smoke_train_examples_per_sec_cpu",
+            "value": round(value, 2), "unit": "examples/s",
+            "vs_baseline": 1.0}))
+        return
 
     device_result = None
     for attempt in range(2):

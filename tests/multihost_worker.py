@@ -65,7 +65,7 @@ def build_model_and_mesh():
     return model, mesh
 
 
-def build_evaluator(test_rows, mesh):
+def build_evaluator(test_rows, mesh, device_negatives=None):
     from bert4rec_tpu.dataloaders import samplers
     from bert4rec_tpu.evaluation import BERT4RecEvaluator
     source = [int(t) for s in test_rows for t in s]
@@ -73,7 +73,8 @@ def build_evaluator(test_rows, mesh):
                            vocab=list(dict.fromkeys(source)),
                            sample_size=10, seed=0)
     return BERT4RecEvaluator(sampler=sampler, sample_size=10, mesh=mesh,
-                             static_shapes=True)
+                             static_shapes=True,
+                             device_negatives=device_negatives)
 
 
 class ZippedShards:
@@ -110,9 +111,17 @@ def run(train_l, val_l, test_l, batch_size, mesh, model, test_rows):
     results = evaluator.evaluate(model, trainer.state["params"], test_l,
                                  batch_size=batch_size, progress_bar=False,
                                  seed=3)
+    # the HOST-sampling evaluator branch (make_array of candidates) must
+    # also run under multi-process; negatives differ from the oracle's
+    # stream, so the test checks process-agreement + statistical closeness
+    ev_host = build_evaluator(test_rows, mesh, device_negatives=False)
+    results_host = ev_host.evaluate(model, trainer.state["params"], test_l,
+                                    batch_size=batch_size,
+                                    progress_bar=False, seed=3)
     return {"history": {k: [float(x) for x in v]
                         for k, v in history.history.items()},
-            "eval": {k: float(v) for k, v in results.items()}}
+            "eval": {k: float(v) for k, v in results.items()},
+            "eval_host": {k: float(v) for k, v in results_host.items()}}
 
 
 def main():

@@ -99,6 +99,17 @@ class TestTwoProcessDistributed:
             np.testing.assert_allclose(v, single["eval"][k], rtol=1e-5,
                                        err_msg=f"eval[{k}]")
 
+        # host-sampling branch: both processes agree on the global result,
+        # and it is statistically close to the oracle (its per-process
+        # sampler streams legitimately differ from a one-process run)
+        assert d0["eval_host"] == d1["eval_host"]
+        assert d0["eval_host"]["Valid Ranks"] == 64
+        for k, v in d0["eval_host"].items():
+            if k == "Valid Ranks":
+                continue
+            assert abs(v - single["eval_host"][k]) < 0.2, \
+                (k, v, single["eval_host"][k])
+
 
 class TestShardForProcess:
 
