@@ -106,3 +106,31 @@ class TestShippedConfigs:
         from bert4rec_tpu import config as config_pkg
         with pytest.raises(FileNotFoundError):
             config_pkg.load_train_config("nope", vocab_size=10)
+
+
+class TestShardedWrapperSave:
+
+    def test_save_from_sharded_params_and_reload(self, tmp_path):
+        """Saving a wrapper whose params live sharded on a mesh must produce
+        the same artifact as host params, and reload to identical values."""
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        from bert4rec_tpu.core.partitioning import param_shardings
+
+        cfg = BERT4RecConfig(vocab_size=40, hidden_size=16, num_layers=1,
+                             num_attention_heads=2, inner_dim=32,
+                             max_sequence_length=10,
+                             max_predictions_per_seq=2, vocab_pad_to=8)
+        model = BERT4RecModel(config=cfg)
+        params = model.init(jax.random.key(7))
+        mesh = create_mesh(MeshConfig(model_parallelism=8))
+        sharded = jax.device_put(params, param_shardings(mesh, params))
+        emb = sharded["encoder"]["item_embeddings"]["embedding"]
+        assert emb.sharding.spec == jax.sharding.PartitionSpec("model", None)
+
+        tok = make_tokenizer()
+        BERT4RecModelWrapper(model, sharded).save(tmp_path / "m",
+                                                  tokenizer=tok, mode=2)
+        restored, _ = BERT4RecModelWrapper.load(tmp_path / "m", mode=2)
+        for a, b in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
