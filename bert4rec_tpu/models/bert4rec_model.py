@@ -124,7 +124,15 @@ class BERT4RecModel:
         otherwise identical math via the standard logits path."""
         from bert4rec_tpu.trainers import trainer_utils
         labels = inputs["masked_lm_ids"]
-        if self.config.use_fused_loss:
+        use_fused = self.config.use_fused_loss
+        if use_fused:
+            # applicability guard: the kernel holds the whole table in VMEM
+            # (ML-20M/Reddit vocabs fall back to the identical-math XLA
+            # path instead of dying in Mosaic)
+            from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
+            use_fused = fused_loss_supported(self.config.padded_vocab_size,
+                                             self.config.table_width)
+        if use_fused:
             from bert4rec_tpu.ops.fused_mlm_loss import mlm_loss_and_metrics
             enc = self.encoder.apply(
                 params["encoder"], inputs["input_word_ids"],

@@ -29,6 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 ROW_TILE = 256
 
+# per-core VMEM ~16 MB. The kernel holds the whole [Vp, W] table (input,
+# fp32) + its fp32 grad accumulator + ~2 live [ROW_TILE, Vp] fp32 logits
+# tiles; calibrated against the measured-working ML-1M config
+# (Vp=3709, W=128 ≈ 11.4 MB by this estimate)
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def estimate_vmem_bytes(v_padded: int, width: int) -> int:
+    return 8 * v_padded * width + 8 * ROW_TILE * v_padded
+
+
+def fused_loss_supported(v_padded: int, width: int) -> bool:
+    """Whether the fused tied-softmax loss fits VMEM for this table.
+
+    False routes callers to the identical-math XLA path — e.g. ML-20M's
+    26.7k-item vocab (27+ MB of table alone) or Reddit's 335k; those run
+    the standard logits path (vocab-sharded on a mesh)."""
+    return estimate_vmem_bytes(v_padded, width) <= VMEM_BUDGET_BYTES
+
 
 def _row_iota(n, v):
     return jax.lax.broadcasted_iota(jnp.int32, (n, v), 1)

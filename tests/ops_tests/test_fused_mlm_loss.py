@@ -145,3 +145,50 @@ class TestFusedLossTraining:
         for k in logs_p:
             np.testing.assert_allclose(float(logs_f[k]), float(logs_p[k]),
                                        rtol=1e-5, err_msg=k)
+
+
+class TestFusedLossGuards:
+    """VMEM applicability guard: big-vocab configs must route to the XLA
+    path instead of attempting to hold the whole table in VMEM."""
+
+    def test_ml1m_scale_supported(self):
+        from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
+        assert fused_loss_supported(3712, 128)
+
+    def test_ml20m_and_reddit_scale_rejected(self):
+        from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
+        assert not fused_loss_supported(26732, 128)
+        assert not fused_loss_supported(335424, 128)
+
+    def test_big_vocab_model_falls_back(self, monkeypatch):
+        """use_fused_loss=True on an over-budget vocab must run the XLA
+        logits path, never the kernel."""
+        import jax
+        import numpy as np
+        import bert4rec_tpu.ops.fused_mlm_loss as fml
+        from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+
+        def boom(*a, **k):
+            raise AssertionError("fused loss called despite failing guard")
+
+        monkeypatch.setattr(fml, "mlm_loss_and_metrics", boom)
+        cfg = BERT4RecConfig(vocab_size=30000, hidden_size=32, num_layers=1,
+                             num_attention_heads=2, inner_dim=64,
+                             max_sequence_length=8,
+                             max_predictions_per_seq=2, use_fused_loss=True,
+                             embedding_width=128)
+        model = BERT4RecModel(config=cfg)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_word_ids": rng.integers(3, 30000, size=(2, 8))
+            .astype(np.int32),
+            "input_mask": np.ones((2, 8), np.int32),
+            "masked_lm_positions": np.array([[0, 1], [2, 3]], np.int32),
+            "masked_lm_ids": rng.integers(3, 30000, size=(2, 2))
+            .astype(np.int32),
+            "masked_lm_weights": np.ones((2, 2), np.int32),
+        }
+        loss, logs = model.loss_and_metrics(params, batch)
+        assert np.isfinite(float(loss))
+        assert abs(float(loss) - np.log(30000)) < 1.0
