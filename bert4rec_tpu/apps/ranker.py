@@ -24,6 +24,18 @@ import numpy as np
 from bert4rec_tpu.models.components.networks import Bert4RecEncoder
 
 
+def _mask_vocab_padding(logits: jnp.ndarray, config) -> jnp.ndarray:
+    """Knock out vocab-padding rows in tied-matmul fallback scores.
+
+    ``mlm_logits`` masks the ``vocab_pad_to`` rows itself; the raw
+    ``hidden @ table^T`` fallback must do the same or randomly-initialized
+    padding embeddings pollute ranks/recommendations."""
+    if config.padded_vocab_size > config.vocab_size:
+        col = jnp.arange(config.padded_vocab_size)
+        logits = jnp.where(col >= config.vocab_size, -1e9, logits)
+    return logits
+
+
 class Ranker:
 
     def __init__(self, model, params, dataloader):
@@ -41,8 +53,9 @@ class Ranker:
             pos = inputs["masked_lm_positions"][0, 0]
             hidden = jnp.take(out["sequence_output"][0], pos, axis=0)
             table = Bert4RecEncoder.get_embedding_table(params["encoder"])
-            return jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
-                              table.astype(jnp.float32))
+            logits = jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
+                                table.astype(jnp.float32))
+            return _mask_vocab_padding(logits, model.config)
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def rank_one(params, inputs, item_id, use_mlm_head):

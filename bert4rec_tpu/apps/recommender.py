@@ -51,12 +51,14 @@ class Recommender:
             logits = outputs["mlm_logits"][0, 0]
         else:
             # tied-embedding fallback on the masked position's hidden state
+            from bert4rec_tpu.apps.ranker import _mask_vocab_padding
             pos = int(np.asarray(model_input["masked_lm_positions"])[0, 0])
             hidden = outputs["sequence_output"][0, pos]
             table = Bert4RecEncoder.get_embedding_table(
                 self.params["encoder"])
             logits = jnp.einsum("h,vh->v", hidden.astype(jnp.float32),
                                 table.astype(jnp.float32))
+            logits = _mask_vocab_padding(logits, self.model.config)
 
         vocab_size = logits.shape[-1]
         mask = np.zeros(vocab_size, dtype=np.float32)

@@ -135,6 +135,22 @@ class BERT4RecEvaluator(BaseEvaluator):
             return self.static_shapes
         return jax.process_count() > 1
 
+    def _place_on_mesh(self, arrays: dict) -> dict:
+        """Shard every ``[B, ...]`` leaf's leading dim over 'data' —
+        assembling per-process local slices into distributed global arrays
+        under multi-host, plain device_put otherwise."""
+        if self.mesh is None:
+            return arrays
+        from bert4rec_tpu.core import partitioning
+        shard = {k: jax.sharding.NamedSharding(
+            self.mesh, partitioning.make_batch_specs(
+                {"x": np.asarray(v)})["x"])
+            for k, v in arrays.items()}
+        if jax.process_count() > 1:
+            return {k: jax.make_array_from_process_local_data(
+                shard[k], np.asarray(v)) for k, v in arrays.items()}
+        return jax.device_put(arrays, shard)
+
     def _device_sampling_available(self) -> bool:
         if self.device_negatives is False:
             return False
@@ -147,31 +163,38 @@ class BERT4RecEvaluator(BaseEvaluator):
         """One jitted computation per (model, sampler distribution):
         Gumbel-top-k negatives -> candidate scoring -> gt ranks."""
         from bert4rec_tpu.ops import negative_sampling as ns
-        key = (id(model), id(self.sampler._probs))
-        if key not in self._fused_fn_cache:
-            logp = ns.popularity_logp(self.sampler._probs)
-            vocab_ids = jnp.asarray(np.asarray(self.sampler.vocab),
-                                    jnp.int32)
-            sample_size = self.sample_size
+        key = id(model)
+        cached = self._fused_fn_cache.get(key)
+        if cached is not None:
+            # the closure bakes in the distribution: invalidate when the
+            # sampler's probs array is no longer the same object (identity,
+            # not id() — GC can reuse ids)
+            probs_ref, fn = cached
+            if probs_ref is self.sampler._probs:
+                return fn
+        probs = self.sampler._probs
+        logp = ns.popularity_logp(probs)
+        vocab_ids = jnp.asarray(np.asarray(self.sampler.vocab), jnp.int32)
+        sample_size = self.sample_size
 
-            def fused(params, batch, without_idx, base_key, counter):
-                # fold inside the jit: one dispatch per batch instead of
-                # extra eager RNG ops (per-op overhead is ~ms through the
-                # tunneled TPU)
-                rng_key = jax.random.fold_in(base_key, counter)
-                return ns.ranks_with_device_negatives(
-                    model, params, batch, logp=logp, vocab_ids=vocab_ids,
-                    without_idx=without_idx, key=rng_key,
-                    sample_size=sample_size)
+        def fused(params, batch, without_idx, base_key, counter):
+            # fold inside the jit: one dispatch per batch instead of
+            # extra eager RNG ops (per-op overhead is ~ms through the
+            # tunneled TPU)
+            rng_key = jax.random.fold_in(base_key, counter)
+            return ns.ranks_with_device_negatives(
+                model, params, batch, logp=logp, vocab_ids=vocab_ids,
+                without_idx=without_idx, key=rng_key,
+                sample_size=sample_size)
 
-            if self.mesh is not None:
-                out_sharding = jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec())
-                self._fused_fn_cache[key] = jax.jit(
-                    fused, out_shardings=out_sharding)
-            else:
-                self._fused_fn_cache[key] = jax.jit(fused)
-        return self._fused_fn_cache[key]
+        if self.mesh is not None:
+            out_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            fn = jax.jit(fused, out_shardings=out_sharding)
+        else:
+            fn = jax.jit(fused)
+        self._fused_fn_cache[key] = (probs, fn)
+        return fn
 
     def _build_without_idx(self, labels, gt_ids, valid) -> np.ndarray:
         """``[B, P, W]`` sampler-vocab indices to exclude per position: the
@@ -209,27 +232,11 @@ class BERT4RecEvaluator(BaseEvaluator):
 
         feature_batch = {k: v for k, v in batch.items()
                          if k not in ("labels", "example_weights")}
-        without = jnp.asarray(without_idx)
-        if self.mesh is not None:
-            from bert4rec_tpu.core import partitioning
-            shard = {k: jax.sharding.NamedSharding(
-                self.mesh, partitioning.make_batch_specs(
-                    {"x": np.asarray(v)})["x"])
-                for k, v in feature_batch.items()}
-            w_shard = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec("data"))
-            if jax.process_count() > 1:
-                feature_batch = {
-                    k: jax.make_array_from_process_local_data(
-                        shard[k], np.asarray(v))
-                    for k, v in feature_batch.items()}
-                without = jax.make_array_from_process_local_data(
-                    w_shard, without_idx)
-            else:
-                feature_batch = jax.device_put(feature_batch, shard)
-                without = jax.device_put(without, w_shard)
+        placed = self._place_on_mesh(
+            {**feature_batch, "without": jnp.asarray(without_idx)})
+        without = placed.pop("without")
         ranks = self._fused_rank_fn(model)(
-            params, feature_batch, without, self._base_key, counter)
+            params, placed, without, self._base_key, counter)
         if not fetch:
             return ranks  # device array; caller fetches + filters > 0
         ranks = np.asarray(ranks)
@@ -279,7 +286,10 @@ class BERT4RecEvaluator(BaseEvaluator):
             batch["masked_lm_weights"] = weights
             p = p_used
 
-        if not valid.any():
+        if not valid.any() and not self._static_shapes:
+            # multi-host (static) runs may NOT early-return on a locally
+            # empty batch: peers would enter the global computation and
+            # hang — proceed with all-invalid rows (ranks come back 0)
             return np.empty(0, dtype=np.int64)
 
         if (self._device_sampling_available()
@@ -296,37 +306,22 @@ class BERT4RecEvaluator(BaseEvaluator):
         without_lists = [
             np.concatenate([seq_without[i], gt_ids[i, j:j + 1]])
             for i, j in zip(rows, cols)]
-        if not without_lists:
+        if not without_lists and not self._static_shapes:
             return np.empty(0, dtype=np.int64)
 
-        negatives = self._sample_negatives(without_lists, len(without_lists))
-
         candidates = np.zeros((b, p, self.sample_size + 1), dtype=np.int32)
-        candidates[rows, cols, :-1] = negatives
+        if without_lists:
+            negatives = self._sample_negatives(without_lists,
+                                               len(without_lists))
+            candidates[rows, cols, :-1] = negatives
         candidates[..., -1] = gt_ids  # ground truth last (reference :101-104)
 
         feature_batch = {k: v for k, v in batch.items()
                          if k not in ("labels", "example_weights")}
-        candidates = jnp.asarray(candidates)
-        if self.mesh is not None:
-            from bert4rec_tpu.core import partitioning
-            shard = {k: jax.sharding.NamedSharding(
-                self.mesh, partitioning.make_batch_specs(
-                    {"x": np.asarray(v)})["x"])
-                for k, v in feature_batch.items()}
-            cand_shard = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec("data"))
-            if jax.process_count() > 1:
-                feature_batch = {
-                    k: jax.make_array_from_process_local_data(
-                        shard[k], np.asarray(v))
-                    for k, v in feature_batch.items()}
-                candidates = jax.make_array_from_process_local_data(
-                    cand_shard, np.asarray(candidates))
-            else:
-                feature_batch = jax.device_put(feature_batch, shard)
-                candidates = jax.device_put(candidates, cand_shard)
-        ranks = self._rank_fn(model)(params, feature_batch, candidates)
+        placed = self._place_on_mesh(
+            {**feature_batch, "candidates": jnp.asarray(candidates)})
+        candidates = placed.pop("candidates")
+        ranks = self._rank_fn(model)(params, placed, candidates)
         if not fetch:
             return ranks  # device array; caller fetches + filters > 0
         ranks = np.asarray(ranks)

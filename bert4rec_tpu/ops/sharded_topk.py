@@ -52,7 +52,9 @@ def topk_over_vocab(logits: jnp.ndarray, k: int, *,
     k_local = min(k, block)
     blocks = logits.reshape(*lead, n, block)
     if mesh is not None and MODEL_AXIS in mesh.axis_names:
-        spec = P(*([None] * len(lead)), MODEL_AXIS, None)
+        # pin only the block dim to 'model'; leading (batch) dims stay
+        # UNCONSTRAINED so a data-sharded batch is not forced to replicate
+        spec = P(*([P.UNCONSTRAINED] * len(lead)), MODEL_AXIS, None)
         blocks = jax.lax.with_sharding_constraint(
             blocks, NamedSharding(mesh, spec))
 

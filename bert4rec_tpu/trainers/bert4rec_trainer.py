@@ -139,7 +139,8 @@ class BERT4RecTrainer(BaseTrainer):
             params = optax.apply_updates(state["params"], updates)
             logs = {"loss": loss, **logs,
                     "_n_valid": trainer_utils.n_valid_positions(
-                        batch["masked_lm_ids"])}
+                        batch["masked_lm_ids"]),
+                    "_n_total": jnp.float32(batch["masked_lm_ids"].size)}
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -152,7 +153,8 @@ class BERT4RecTrainer(BaseTrainer):
             loss, logs = loss_and_logs(state["params"], batch, False, None)
             return {"loss": loss, **logs,
                     "_n_valid": trainer_utils.n_valid_positions(
-                        batch["masked_lm_ids"])}
+                        batch["masked_lm_ids"]),
+                    "_n_total": jnp.float32(batch["masked_lm_ids"].size)}
 
         def multi_step(state, stacked):
             """K sequential train steps in one dispatch (leaves [K, B, ...]);
@@ -236,11 +238,15 @@ class BERT4RecTrainer(BaseTrainer):
 
         for epoch in range(epochs):
             t0 = time.time()
-            sums, count = {}, 0
+            sums, wsums, count = {}, {}, 0
             n_examples = 0
             # host masking + device_put of batch k+1 overlap step k
             # (double-buffered; VERDICT r1 weak #3)
             k_call = self.steps_per_call
+            if profile_dir is not None and k_call > 1:
+                # the profiler brackets individual global steps; run this
+                # training call single-step so the trace actually captures
+                k_call = 1
             raw = train_ds.batches(batch_size, shuffle=True,
                                    seed=seed + epoch, drop_remainder=True)
             if k_call > 1:
@@ -271,14 +277,18 @@ class BERT4RecTrainer(BaseTrainer):
                 nonlocal count, global_step
                 global_step += n_steps
                 count += n_steps
-                w = logs.pop("_n_valid")
+                # weight per-batch means by their position count so the
+                # epoch mean is the exact mean over positions, not a mean
+                # of unequal batch means: masked metrics (loss,
+                # masked_accuracy, custom) by valid positions; the unmasked
+                # 'accuracy' by ALL positions ([K]-shaped logs from
+                # multi-step calls reduce the same way)
+                w_valid = logs.pop("_n_valid")
+                w_total = logs.pop("_n_total")
                 for k, v in logs.items():
-                    # weight per-batch means by their valid-position count
-                    # so the epoch mean is the exact mean over positions,
-                    # not a mean of unequal batch means ([K]-shaped logs
-                    # from multi-step calls reduce the same way)
+                    w = w_total if k == "accuracy" else w_valid
                     sums[k] = sums.get(k, 0.0) + jnp.sum(v * w)
-                sums["_n_valid"] = sums.get("_n_valid", 0.0) + jnp.sum(w)
+                    wsums[k] = wsums.get(k, 0.0) + jnp.sum(w)
                 return steps_per_epoch and count >= steps_per_epoch
 
             stop_epoch = False
@@ -305,8 +315,8 @@ class BERT4RecTrainer(BaseTrainer):
                         break
                 if stop_epoch:
                     break
-            total_w = max(float(sums.pop("_n_valid", 0.0)), 1.0)
-            logs = {k: float(v) / total_w for k, v in sums.items()}
+            logs = {k: float(v) / max(float(wsums[k]), 1.0)
+                    for k, v in sums.items()}
             logs["examples_per_second"] = n_examples / max(
                 time.time() - t0, 1e-9)
 
@@ -336,7 +346,7 @@ class BERT4RecTrainer(BaseTrainer):
     def validate(self, val_ds, batch_size: int = 256,
                  validation_steps: Optional[int] = None,
                  seed: int = 0) -> dict:
-        sums, count = {}, 0
+        sums, wsums, count = {}, {}, 0
         def drop_weights(batch):
             batch.pop("example_weights", None)  # loss masks pad rows itself
             return self._put_batch(batch)
@@ -347,17 +357,20 @@ class BERT4RecTrainer(BaseTrainer):
                 drop_weights, depth=2):
             logs = self._eval_step_fn(self.state, batch)
             count += 1
-            w = logs.pop("_n_valid")
+            w_valid = logs.pop("_n_valid")
+            w_total = logs.pop("_n_total")
             for k, v in logs.items():
                 # exact weighting over unequal/padded batches: pad rows have
                 # masked_lm_ids == 0 so they carry zero weight — this makes
-                # val_masked_accuracy (the checkpoint monitor) exact
+                # val_masked_accuracy (the checkpoint monitor) exact; the
+                # unmasked 'accuracy' weights by all positions instead
+                w = w_total if k == "accuracy" else w_valid
                 sums[k] = sums.get(k, 0.0) + v * w
-            sums["_n_valid"] = sums.get("_n_valid", 0.0) + w
+                wsums[k] = wsums.get(k, 0.0) + w
             if validation_steps and count >= validation_steps:
                 break
-        total_w = max(float(sums.pop("_n_valid", 0.0)), 1.0)
-        return {k: float(v) / total_w for k, v in sums.items()}
+        return {k: float(v) / max(float(wsums[k]), 1.0)
+                for k, v in sums.items()}
 
     # ------------------------------------------------------------------ #
     # persistence

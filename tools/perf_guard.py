@@ -37,47 +37,25 @@ BUDGET_MS = {
 }
 MIN_SPEEDUP_FUSED_VS_XLA = 1.5
 
-BATCH, SEQ, NPRED, VOCAB = 256, 200, 40, 3709
 WARMUP = 5
 STEPS_PER_ROUND = 30
 ROUNDS = 4
 
+# model config, batch construction, and BATCH/SEQ/... constants come from
+# bench.py — the guard protects exactly the configuration the bench measures
+import bench  # noqa: E402
+
+BATCH = bench.BATCH
+
 
 def build_trainer(use_fused_layer, use_fused_loss, steps_per_call=1):
-    import jax
-    from bert4rec_tpu.core.dtypes import DTypePolicy, enable_fast_prng
-    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
-    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
-
-    enable_fast_prng()
-    config = BERT4RecConfig(
-        vocab_size=VOCAB, hidden_size=128, num_layers=2,
-        num_attention_heads=4, inner_dim=512, max_sequence_length=SEQ,
-        attention_dropout=0.2, output_dropout=0.5,
-        max_predictions_per_seq=NPRED,
-        use_fused_layer=use_fused_layer, use_fused_loss=use_fused_loss)
-    model = BERT4RecModel(config=config, dtype_policy=DTypePolicy.bf16())
-    trainer = BERT4RecTrainer(model, steps_per_call=steps_per_call)
-    trainer.initialize_model(
-        optimizer=optimizers.create_adam_w_optimizer(),
-        rng=jax.random.key(0))
-    return trainer
+    return bench.build(
+        dict(use_fused_layer=use_fused_layer,
+             use_fused_loss=use_fused_loss),
+        steps_per_call=steps_per_call)
 
 
-def make_batch(seed=0):
-    import numpy as np
-    rng = np.random.default_rng(seed)
-    ids = rng.integers(3, VOCAB, size=(BATCH, SEQ)).astype(np.int32)
-    positions = np.stack([
-        np.sort(rng.choice(SEQ, size=NPRED, replace=False))
-        for _ in range(BATCH)]).astype(np.int32)
-    return {
-        "input_word_ids": ids,
-        "input_mask": np.ones((BATCH, SEQ), np.int32),
-        "masked_lm_positions": positions,
-        "masked_lm_ids": np.take_along_axis(ids, positions, axis=1),
-        "masked_lm_weights": np.ones((BATCH, NPRED), np.int32),
-    }
+make_batch = bench.make_batch
 
 
 def main(argv=None):
