@@ -126,11 +126,12 @@ class BERT4RecModel:
         labels = inputs["masked_lm_ids"]
         use_fused = self.config.use_fused_loss
         if use_fused:
-            # applicability guard: the kernel holds the whole table in VMEM
-            # (ML-20M/Reddit vocabs fall back to the identical-math XLA
-            # path instead of dying in Mosaic)
-            from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
-            use_fused = fused_loss_supported(self.config.padded_vocab_size,
+            # applicability guard: small vocabs use the whole-table-in-VMEM
+            # kernel, larger ones the vocab-tiled flash-softmax kernels;
+            # only a table too big for even the tiled path (or sharded use
+            # cases preferring GSPMD) falls back to the XLA logits path
+            from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_available
+            use_fused = fused_loss_available(self.config.padded_vocab_size,
                                              self.config.table_width)
         if use_fused:
             from bert4rec_tpu.ops.fused_mlm_loss import mlm_loss_and_metrics

@@ -41,12 +41,25 @@ def estimate_vmem_bytes(v_padded: int, width: int) -> int:
 
 
 def fused_loss_supported(v_padded: int, width: int) -> bool:
-    """Whether the fused tied-softmax loss fits VMEM for this table.
-
-    False routes callers to the identical-math XLA path — e.g. ML-20M's
-    26.7k-item vocab (27+ MB of table alone) or Reddit's 335k; those run
-    the standard logits path (vocab-sharded on a mesh)."""
+    """Whether the single-tile (whole-table-in-VMEM) kernel fits."""
     return estimate_vmem_bytes(v_padded, width) <= VMEM_BUDGET_BYTES
+
+
+# vocab tile of the flash-softmax variant; block working set at W=256:
+# table block 2 MB + dt block 2 MB + ~2 live [256, VTILE] fp32 logits
+# tiles 4 MB — comfortably inside VMEM
+VTILE = 2048
+
+
+def fused_loss_available(v_padded: int, width: int) -> bool:
+    """Whether ANY fused path applies: the single-tile kernel for small
+    vocabs, else the vocab-tiled flash-softmax kernels (online logsumexp
+    forward + two recompute sweeps backward) — which scale to any vocab
+    whose table fits HBM (Reddit's 335k x 128 = 172 MB is fine)."""
+    if fused_loss_supported(v_padded, width):
+        return True
+    # tiled path: per-block VMEM only; bound the HBM dt accumulator
+    return 4 * v_padded * width <= 1 << 30
 
 
 def _row_iota(n, v):
@@ -261,10 +274,298 @@ def mlm_loss_and_metrics(hidden, table, bias, labels, vocab_size,
         hidden.shape[0]
     hidden2 = hidden.reshape(rows, hidden.shape[-1])
     labels2 = labels.reshape(rows).astype(jnp.int32)
-    loss, cv, ca, nv = fused_mlm_loss(hidden2, table, bias, labels2,
-                                      vocab_size, interpret)
+    # whole-table-in-VMEM kernel when it fits, vocab-tiled otherwise
+    fn = (fused_mlm_loss
+          if fused_loss_supported(table.shape[0], table.shape[1])
+          else fused_mlm_loss_tiled)
+    loss, cv, ca, nv = fn(hidden2, table, bias, labels2,
+                          vocab_size, interpret)
     logs = {
         "masked_accuracy": cv / jnp.maximum(nv, 1.0),
         "accuracy": ca / rows,
     }
     return loss, logs
+
+
+# --------------------------------------------------------------------------- #
+# vocab-tiled ("flash softmax") variant — any vocab size, per-block VMEM
+# --------------------------------------------------------------------------- #
+#
+# forward: grid (row_tiles, v_tiles), v innermost. Per row tile, an online
+# logsumexp/argmax runs across the vocab tiles (stats live in revisited
+# [1, R, 1] output blocks, resident in VMEM for the whole inner sweep); the
+# loss/metric scalars and the final per-row lse emit at the last tile.
+# backward: TWO recompute sweeps (the flash-attention trick — a single 2-D
+# grid cannot keep both dh (accumulated over v) and dt (accumulated over
+# rows) in consecutively-revisited blocks):
+#   dh sweep: grid (row_tiles, v_tiles) — dh block i accumulates over j;
+#   dt sweep: grid (v_tiles, row_tiles) — dt/db blocks j accumulate over i.
+# Both recompute p = exp(logits - lse) from the forward's saved lse.
+
+
+def _tile_logits_at(hidden, table, bias, labels_like, col0, vocab_size):
+    logits = jax.lax.dot_general(
+        hidden, table, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias
+    col = col0 + _row_iota(hidden.shape[0], logits.shape[1])
+    logits = jnp.where(col >= vocab_size, NEG_INF, logits)
+    return logits, col
+
+
+def _fwd_kernel_tiled(hidden_ref, table_ref, bias_ref, labels_ref,
+                      loss_ref, cv_ref, ca_ref, nv_ref, lse_ref,
+                      m_ref, s_ref, ll_ref, arg_ref,
+                      *, vocab_size, n_vtiles):
+    i, j = pl.program_id(0), pl.program_id(1)
+    hidden = hidden_ref[0]
+    table = table_ref[:].astype(hidden.dtype)
+    labels = labels_ref[:]                                # [R, 1]
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0],
+                                  labels, j * VTILE, vocab_size)
+
+    t_m = jnp.max(logits, axis=-1, keepdims=True)         # [R, 1]
+    t_s = jnp.sum(jnp.exp(logits - t_m), axis=-1, keepdims=True)
+    onehot = (col == labels).astype(jnp.float32)
+    t_ll = jnp.sum(logits * onehot, axis=-1, keepdims=True)
+    t_arg = (j * VTILE + jnp.argmax(logits, axis=-1, keepdims=True)
+             ).astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[0] = t_m
+        s_ref[0] = t_s
+        ll_ref[0] = t_ll
+        arg_ref[0] = t_arg
+
+    @pl.when(j > 0)
+    def _():
+        m_prev = m_ref[0]
+        new_m = jnp.maximum(m_prev, t_m)
+        s_ref[0] = (s_ref[0] * jnp.exp(m_prev - new_m)
+                    + t_s * jnp.exp(t_m - new_m))
+        # the label lives in exactly one tile; elsewhere t_ll is 0
+        ll_ref[0] += t_ll
+        arg_ref[0] = jnp.where(t_m > m_prev, t_arg, arg_ref[0])
+        m_ref[0] = new_m
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        loss_ref[0, 0] = 0.0
+        cv_ref[0, 0] = 0.0
+        ca_ref[0, 0] = 0.0
+        nv_ref[0, 0] = 0.0
+
+    @pl.when(j == n_vtiles - 1)
+    def _():
+        lse = m_ref[0] + jnp.log(s_ref[0])
+        lse_ref[0] = lse
+        w = (labels > 0).astype(jnp.float32)
+        nll = (lse - ll_ref[0]) * w
+        correct = (arg_ref[0].astype(jnp.int32) == labels).astype(
+            jnp.float32)
+        loss_ref[0, 0] += jnp.sum(nll)
+        cv_ref[0, 0] += jnp.sum(correct * w)
+        ca_ref[0, 0] += jnp.sum(correct)
+        nv_ref[0, 0] += jnp.sum(w)
+
+
+def _pad_vocab(table, bias):
+    v = table.shape[0]
+    pad = (-v) % VTILE
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, table.shape[1]), table.dtype)], axis=0)
+        bias = jnp.concatenate([bias, jnp.zeros((pad,), bias.dtype)])
+    return table, bias, v
+
+
+def _run_forward_tiled(hidden, table, bias, labels, vocab_size, interpret):
+    (hidden, n), (labels, _) = _pad_rows(hidden, ROW_TILE), \
+        _pad_rows(labels, ROW_TILE)
+    if labels.shape[0] > n:
+        labels = labels.at[n:].set(-1)
+    table, bias, _ = _pad_vocab(table, bias)
+    rows, w = hidden.shape
+    vp = table.shape[0]
+    tiles, vtiles = rows // ROW_TILE, vp // VTILE
+    kernel = functools.partial(_fwd_kernel_tiled, vocab_size=vocab_size,
+                               n_vtiles=vtiles)
+    stat = pl.BlockSpec((1, ROW_TILE, 1), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles, vtiles),
+        in_specs=[
+            pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((VTILE, w), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                memory_space=pltpu.SMEM)] * 4
+        + [stat] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((tiles, ROW_TILE, 1), jnp.float32)] * 5,
+        interpret=interpret,
+    )(hidden.reshape(tiles, ROW_TILE, w), table, bias.reshape(1, -1),
+      labels.reshape(rows, 1))
+    loss_sum, cv, ca, nv = (o[0, 0] for o in out[:4])
+    lse = out[4].reshape(rows, 1)
+    return loss_sum, cv, ca, nv, lse, n
+
+
+def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
+                   lse_ref, g_ref, dh_ref, *, vocab_size):
+    j = pl.program_id(1)
+    hidden = hidden_ref[0]
+    table = table_ref[:].astype(hidden.dtype)
+    labels = labels_ref[:]
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0],
+                                  labels, j * VTILE, vocab_size)
+    p = jnp.exp(logits - lse_ref[0])                      # masked cols -> 0
+    onehot = (col == labels).astype(jnp.float32)
+    w = (labels > 0).astype(jnp.float32)
+    scale = g_ref[0, 0] / jnp.maximum(nvalid_ref[0, 0], 1.0)
+    dlog = ((p - onehot) * (w * scale)).astype(hidden.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dh_ref[0] = jnp.zeros_like(dh_ref[0])
+
+    dh_ref[0] += jax.lax.dot_general(
+        dlog, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dh_ref.dtype)
+
+
+def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
+                   lse_ref, g_ref, dt_ref, db_ref, *, vocab_size):
+    # grid is (v_tiles, row_tiles): block j is the OUTER dim here so the
+    # dt/db accumulators stay resident across the inner row sweep
+    i = pl.program_id(1)
+    hidden = hidden_ref[0]
+    table = table_ref[:].astype(hidden.dtype)
+    labels = labels_ref[:]
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0], labels,
+                                  pl.program_id(0) * VTILE, vocab_size)
+    p = jnp.exp(logits - lse_ref[0])
+    onehot = (col == labels).astype(jnp.float32)
+    w = (labels > 0).astype(jnp.float32)
+    scale = g_ref[0, 0] / jnp.maximum(nvalid_ref[0, 0], 1.0)
+    dlog = (p - onehot) * (w * scale)
+
+    @pl.when(i == 0)
+    def _():
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dt_ref[:] += jax.lax.dot_general(
+        dlog.astype(hidden.dtype), hidden, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[0] += jnp.sum(dlog, axis=0)
+
+
+def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
+                        vocab_size, interpret):
+    (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE), \
+        _pad_rows(labels, ROW_TILE)
+    if labels_p.shape[0] > n:
+        labels_p = labels_p.at[n:].set(-1)
+    lse_p, _ = _pad_rows(lse, ROW_TILE)
+    table_p, bias_p, v_orig = _pad_vocab(table, bias)
+    rows, w = hidden_p.shape
+    vp = table_p.shape[0]
+    tiles, vtiles = rows // ROW_TILE, vp // VTILE
+    scalars = [jnp.reshape(nvalid, (1, 1)).astype(jnp.float32)]
+    args = (hidden_p.reshape(tiles, ROW_TILE, w), table_p,
+            bias_p.reshape(1, -1), labels_p.reshape(rows, 1),
+            lse_p.reshape(tiles, ROW_TILE, 1),
+            jnp.reshape(g, (1, 1)).astype(jnp.float32))
+    smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+
+    dh = pl.pallas_call(
+        functools.partial(_bwd_dh_kernel, vocab_size=vocab_size),
+        grid=(tiles, vtiles),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((VTILE, w), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem,
+        ],
+        out_specs=pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, ROW_TILE, w), hidden.dtype),
+        interpret=interpret,
+    )(*scalars, *args)
+
+    dt, db = pl.pallas_call(
+        functools.partial(_bwd_dt_kernel, vocab_size=vocab_size),
+        grid=(vtiles, tiles),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, ROW_TILE, w), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((VTILE, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE, 1), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem,
+        ],
+        out_specs=[
+            pl.BlockSpec((VTILE, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((vp, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*scalars, *args)
+
+    return (dh.reshape(rows, w)[:n], dt[:v_orig],
+            db.reshape(-1)[:v_orig])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_mlm_loss_tiled(hidden, table, bias, labels, vocab_size,
+                         interpret):
+    """Vocab-tiled twin of :func:`fused_mlm_loss` — same contract, any
+    vocab size (online logsumexp across [VTILE]-wide table blocks)."""
+    loss_sum, cv, ca, nv, _, _ = _run_forward_tiled(
+        hidden, table, bias, labels, vocab_size, interpret)
+    return loss_sum / jnp.maximum(nv, 1.0), cv, ca, nv
+
+
+def _fused_tiled_fwd(hidden, table, bias, labels, vocab_size, interpret):
+    loss_sum, cv, ca, nv, lse, _ = _run_forward_tiled(
+        hidden, table, bias, labels, vocab_size, interpret)
+    loss = loss_sum / jnp.maximum(nv, 1.0)
+    return (loss, cv, ca, nv), (hidden, table, bias, labels, lse, nv)
+
+
+def _fused_tiled_bwd(vocab_size, interpret, residuals, g):
+    hidden, table, bias, labels, lse, nv = residuals
+    dh, dt, db = _run_backward_tiled(hidden, table, bias, labels,
+                                     lse[:hidden.shape[0]], g[0], nv,
+                                     vocab_size, interpret)
+    return dh, dt.astype(table.dtype), db.astype(bias.dtype), None
+
+
+fused_mlm_loss_tiled.defvjp(_fused_tiled_fwd, _fused_tiled_bwd)

@@ -148,21 +148,22 @@ class TestFusedLossTraining:
 
 
 class TestFusedLossGuards:
-    """VMEM applicability guard: big-vocab configs must route to the XLA
-    path instead of attempting to hold the whole table in VMEM."""
+    """Applicability routing: small vocabs -> whole-table kernel; larger ->
+    vocab-tiled flash-softmax kernels; only absurd tables -> XLA path."""
 
-    def test_ml1m_scale_supported(self):
+    def test_single_tile_bounds(self):
         from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
-        assert fused_loss_supported(3712, 128)
+        assert fused_loss_supported(3712, 128)          # ML-1M
+        assert not fused_loss_supported(26732, 128)     # ML-20M
+        assert not fused_loss_supported(335424, 128)    # Reddit
 
-    def test_ml20m_and_reddit_scale_rejected(self):
-        from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
-        assert not fused_loss_supported(26732, 128)
-        assert not fused_loss_supported(335424, 128)
+    def test_tiled_availability(self):
+        from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_available
+        assert fused_loss_available(26732, 128)         # ML-20M -> tiled
+        assert fused_loss_available(335424, 128)        # Reddit -> tiled
+        assert not fused_loss_available(3_000_000, 128)  # table > 1 GB
 
-    def test_big_vocab_model_falls_back(self, monkeypatch):
-        """use_fused_loss=True on an over-budget vocab must run the XLA
-        logits path, never the kernel."""
+    def test_unavailable_model_falls_back(self, monkeypatch):
         import jax
         import numpy as np
         import bert4rec_tpu.ops.fused_mlm_loss as fml
@@ -172,23 +173,99 @@ class TestFusedLossGuards:
             raise AssertionError("fused loss called despite failing guard")
 
         monkeypatch.setattr(fml, "mlm_loss_and_metrics", boom)
-        cfg = BERT4RecConfig(vocab_size=30000, hidden_size=32, num_layers=1,
+        monkeypatch.setattr(fml, "fused_loss_available",
+                            lambda *a: False)
+        cfg = BERT4RecConfig(vocab_size=500, hidden_size=32, num_layers=1,
                              num_attention_heads=2, inner_dim=64,
                              max_sequence_length=8,
-                             max_predictions_per_seq=2, use_fused_loss=True,
-                             embedding_width=128)
+                             max_predictions_per_seq=2, use_fused_loss=True)
         model = BERT4RecModel(config=cfg)
         params = model.init(jax.random.key(0))
         rng = np.random.default_rng(0)
         batch = {
-            "input_word_ids": rng.integers(3, 30000, size=(2, 8))
+            "input_word_ids": rng.integers(3, 500, size=(2, 8))
             .astype(np.int32),
             "input_mask": np.ones((2, 8), np.int32),
             "masked_lm_positions": np.array([[0, 1], [2, 3]], np.int32),
-            "masked_lm_ids": rng.integers(3, 30000, size=(2, 2))
+            "masked_lm_ids": rng.integers(3, 500, size=(2, 2))
             .astype(np.int32),
             "masked_lm_weights": np.ones((2, 2), np.int32),
         }
         loss, logs = model.loss_and_metrics(params, batch)
-        assert np.isfinite(float(loss))
-        assert abs(float(loss) - np.log(30000)) < 1.0
+        assert abs(float(loss) - np.log(500)) < 1.0
+
+
+class TestTiledFusedLoss:
+    """The vocab-tiled flash-softmax kernels must match the single-tile
+    kernel and XLA autodiff exactly (interpret mode)."""
+
+    @staticmethod
+    def _setup(rows=70, w=32, v=5000, vocab_size=4990, seed=0):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        hidden = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+        table = jnp.asarray(
+            rng.normal(size=(v, w)).astype(np.float32) * 0.05)
+        bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
+        labels = rng.integers(0, vocab_size, size=rows).astype(np.int32)
+        labels[::7] = 0  # some pad rows
+        return hidden, table, bias, jnp.asarray(labels), vocab_size
+
+    def test_forward_matches_xla(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from bert4rec_tpu.ops.fused_mlm_loss import fused_mlm_loss_tiled
+        from bert4rec_tpu.trainers import trainer_utils
+        hidden, table, bias, labels, vs = self._setup()
+        loss, cv, ca, nv = fused_mlm_loss_tiled(hidden, table, bias,
+                                                labels, vs, True)
+        logits = (hidden @ table.T + bias)[None]
+        col = np.arange(table.shape[0])
+        logits = jnp.where(col[None, None, :] >= vs, -1e9, logits)
+        want = trainer_utils.masked_sparse_categorical_crossentropy(
+            labels[None], logits)
+        np.testing.assert_allclose(float(loss), float(want), rtol=2e-5)
+        want_acc = trainer_utils.masked_accuracy(labels[None], logits)
+        np.testing.assert_allclose(float(cv) / float(nv), float(want_acc),
+                                   rtol=1e-6)
+        assert int(nv) == int((np.asarray(labels) != 0).sum())
+
+    def test_matches_single_tile_kernel(self):
+        import numpy as np
+        from bert4rec_tpu.ops.fused_mlm_loss import (
+            fused_mlm_loss, fused_mlm_loss_tiled,
+        )
+        hidden, table, bias, labels, vs = self._setup(v=3000,
+                                                      vocab_size=3000)
+        a = fused_mlm_loss(hidden, table, bias, labels, vs, True)
+        b = fused_mlm_loss_tiled(hidden, table, bias, labels, vs, True)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(float(x), float(y), rtol=2e-5)
+
+    def test_gradients_match_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from bert4rec_tpu.ops.fused_mlm_loss import fused_mlm_loss_tiled
+        from bert4rec_tpu.trainers import trainer_utils
+        hidden, table, bias, labels, vs = self._setup(rows=40, v=4100,
+                                                      vocab_size=4096)
+
+        def loss_tiled(h, t, b):
+            return fused_mlm_loss_tiled(h, t, b, labels, vs, True)[0]
+
+        def loss_xla(h, t, b):
+            logits = (h @ t.T + b)[None]
+            col = jnp.arange(t.shape[0])[None, None, :]
+            logits = jnp.where(col >= vs, -1e9, logits)
+            return trainer_utils.masked_sparse_categorical_crossentropy(
+                labels[None], logits)
+
+        g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(hidden, table, bias)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(hidden, table, bias)
+        for name, a, b in zip("htb", g_t, g_x):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = np.abs(b).max() + 1e-9
+            assert np.abs(a - b).max() / denom < 2e-4, name

@@ -74,6 +74,7 @@ def main(argv=None):
         import verify_kernels_on_tpu as vk
         vk.main()
         vk.verify_fused_layer()
+        vk.verify_tiled_loss()
         print("[perf_guard] kernel numerics OK")
 
     import numpy as np

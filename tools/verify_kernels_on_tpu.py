@@ -189,6 +189,50 @@ def verify_fused_layer():
     print("FUSED LAYER TPU CHECKS PASSED")
 
 
+def verify_tiled_loss():
+    """Vocab-tiled flash-softmax loss vs XLA autodiff at ML-20M vocab
+    scale (the tiling path the small CPU tests exercise only in
+    interpret mode)."""
+    import jax.numpy as jnp
+    from bert4rec_tpu.ops.fused_mlm_loss import fused_mlm_loss_tiled
+    from bert4rec_tpu.trainers import trainer_utils
+
+    rng = np.random.default_rng(0)
+    rows, w, v, vs = 300, 128, 26752, 26732
+    hidden = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
+    labels_np = rng.integers(0, vs, size=rows).astype(np.int32)
+    labels_np[::9] = 0
+    labels = jnp.asarray(labels_np)
+
+    def loss_tiled(h, t, b):
+        return fused_mlm_loss_tiled(h, t, b, labels, vs, False)[0]
+
+    def loss_xla(h, t, b):
+        logits = (h @ t.T + b)[None]
+        col = jnp.arange(t.shape[0])[None, None, :]
+        logits = jnp.where(col >= vs, -1e9, logits)
+        return trainer_utils.masked_sparse_categorical_crossentropy(
+            labels[None], logits)
+
+    lt = float(jax.jit(loss_tiled)(hidden, table, bias))
+    lx = float(jax.jit(loss_xla)(hidden, table, bias))
+    print("tiled loss fwd delta:", abs(lt - lx))
+    assert abs(lt - lx) < 1e-3
+    gt = jax.jit(jax.grad(loss_tiled, argnums=(0, 1, 2)))(hidden, table,
+                                                          bias)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(hidden, table,
+                                                        bias)
+    for name, a, b in zip("htb", gt, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        print(f"tiled loss grad d{name} rel err {rel:.2e}")
+        assert rel < 5e-3, name
+    print("TILED LOSS TPU CHECKS PASSED")
+
+
 if __name__ == "__main__":
     main()
     verify_fused_layer()
+    verify_tiled_loss()
