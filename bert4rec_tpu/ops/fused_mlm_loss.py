@@ -45,10 +45,13 @@ def fused_loss_supported(v_padded: int, width: int) -> bool:
     return estimate_vmem_bytes(v_padded, width) <= VMEM_BUDGET_BYTES
 
 
-# vocab tile of the flash-softmax variant; block working set at W=256:
-# table block 2 MB + dt block 2 MB + ~2 live [256, VTILE] fp32 logits
-# tiles 4 MB — comfortably inside VMEM
-VTILE = 2048
+# flash-softmax variant tiling. The whole table streams through VMEM once
+# per ROW TILE (x3 sweeps with backward), so a taller row tile directly
+# divides table HBM traffic; VTILE shrinks to keep the [R, VTILE] logits
+# tiles inside VMEM (working set at W=256: table block 1 MB + dt block
+# 1 MB + ~3 live [512, 1024] fp32 logits tiles 6 MB)
+VTILE = 1024
+ROW_TILE_TILED = 512
 
 
 def fused_loss_available(v_padded: int, width: int) -> bool:
@@ -380,38 +383,38 @@ def _pad_vocab(table, bias):
 
 
 def _run_forward_tiled(hidden, table, bias, labels, vocab_size, interpret):
-    (hidden, n), (labels, _) = _pad_rows(hidden, ROW_TILE), \
-        _pad_rows(labels, ROW_TILE)
+    (hidden, n), (labels, _) = _pad_rows(hidden, ROW_TILE_TILED), \
+        _pad_rows(labels, ROW_TILE_TILED)
     if labels.shape[0] > n:
         labels = labels.at[n:].set(-1)
     table, bias, _ = _pad_vocab(table, bias)
     rows, w = hidden.shape
     vp = table.shape[0]
-    tiles, vtiles = rows // ROW_TILE, vp // VTILE
+    tiles, vtiles = rows // ROW_TILE_TILED, vp // VTILE
     kernel = functools.partial(_fwd_kernel_tiled, vocab_size=vocab_size,
                                n_vtiles=vtiles)
-    stat = pl.BlockSpec((1, ROW_TILE, 1), lambda i, j: (i, 0, 0),
+    stat = pl.BlockSpec((1, ROW_TILE_TILED, 1), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(tiles, vtiles),
         in_specs=[
-            pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, ROW_TILE_TILED, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((VTILE, w), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VTILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((ROW_TILE_TILED, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)] * 4
         + [stat] * 5,
         out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 4
-        + [jax.ShapeDtypeStruct((tiles, ROW_TILE, 1), jnp.float32)] * 5,
+        + [jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, 1), jnp.float32)] * 5,
         interpret=interpret,
-    )(hidden.reshape(tiles, ROW_TILE, w), table, bias.reshape(1, -1),
+    )(hidden.reshape(tiles, ROW_TILE_TILED, w), table, bias.reshape(1, -1),
       labels.reshape(rows, 1))
     loss_sum, cv, ca, nv = (o[0, 0] for o in out[:4])
     lse = out[4].reshape(rows, 1)
@@ -470,19 +473,19 @@ def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
 def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
                         vocab_size, interpret):
-    (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE), \
-        _pad_rows(labels, ROW_TILE)
+    (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE_TILED), \
+        _pad_rows(labels, ROW_TILE_TILED)
     if labels_p.shape[0] > n:
         labels_p = labels_p.at[n:].set(-1)
-    lse_p, _ = _pad_rows(lse, ROW_TILE)
+    lse_p, _ = _pad_rows(lse, ROW_TILE_TILED)
     table_p, bias_p, v_orig = _pad_vocab(table, bias)
     rows, w = hidden_p.shape
     vp = table_p.shape[0]
-    tiles, vtiles = rows // ROW_TILE, vp // VTILE
+    tiles, vtiles = rows // ROW_TILE_TILED, vp // VTILE
     scalars = [jnp.reshape(nvalid, (1, 1)).astype(jnp.float32)]
-    args = (hidden_p.reshape(tiles, ROW_TILE, w), table_p,
+    args = (hidden_p.reshape(tiles, ROW_TILE_TILED, w), table_p,
             bias_p.reshape(1, -1), labels_p.reshape(rows, 1),
-            lse_p.reshape(tiles, ROW_TILE, 1),
+            lse_p.reshape(tiles, ROW_TILE_TILED, 1),
             jnp.reshape(g, (1, 1)).astype(jnp.float32))
     smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
 
@@ -491,21 +494,21 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
         grid=(tiles, vtiles),
         in_specs=[
             smem,
-            pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, ROW_TILE_TILED, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((VTILE, w), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VTILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((ROW_TILE_TILED, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_TILE, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, ROW_TILE_TILED, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             smem,
         ],
-        out_specs=pl.BlockSpec((1, ROW_TILE, w), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, ROW_TILE_TILED, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, ROW_TILE, w), hidden.dtype),
+        out_shape=jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, w), hidden.dtype),
         interpret=interpret,
     )(*scalars, *args)
 
@@ -514,15 +517,15 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
         grid=(vtiles, tiles),
         in_specs=[
             smem,
-            pl.BlockSpec((1, ROW_TILE, w), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((1, ROW_TILE_TILED, w), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((VTILE, w), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VTILE), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((ROW_TILE_TILED, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_TILE, 1), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((1, ROW_TILE_TILED, 1), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             smem,
         ],
