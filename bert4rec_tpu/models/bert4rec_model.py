@@ -117,13 +117,39 @@ class BERT4RecModel:
 
     def loss_and_metrics(self, params: dict, inputs: dict, *,
                          training: bool = False,
-                         rng: Optional[jax.Array] = None) -> tuple:
+                         rng: Optional[jax.Array] = None,
+                         mesh=None) -> tuple:
         """(masked-SCCE loss, {masked_accuracy, accuracy}) for a train/eval
         step. With ``config.use_fused_loss`` the tied softmax + loss +
         metrics run as one Pallas kernel (no [B, P, V] logits in HBM);
-        otherwise identical math via the standard logits path."""
+        otherwise identical math via the standard logits path.
+
+        ``mesh``: pass the trainer's mesh when the table is vocab-sharded
+        over its 'model' axis — the loss then runs the shard_map'd
+        cross-shard kernels (ops/sharded_mlm_loss.py) instead of letting
+        GSPMD materialize per-shard logits slabs."""
         from bert4rec_tpu.trainers import trainer_utils
         labels = inputs["masked_lm_ids"]
+
+        if (mesh is not None and self.config.use_fused_loss):
+            from bert4rec_tpu.core.mesh import MODEL_AXIS
+            mp = dict(mesh.shape).get(MODEL_AXIS, 1)
+            if mp > 1 and self.config.padded_vocab_size % mp == 0:
+                from bert4rec_tpu.ops.sharded_mlm_loss import (
+                    sharded_mlm_loss_and_metrics,
+                )
+                enc = self.encoder.apply(
+                    params["encoder"], inputs["input_word_ids"],
+                    inputs["input_mask"], training=training, rng=rng)
+                hidden = self.mlm_transform(
+                    params, enc["sequence_output"],
+                    inputs["masked_lm_positions"])
+                table = Bert4RecEncoder.get_embedding_table(
+                    params["encoder"])
+                return sharded_mlm_loss_and_metrics(
+                    hidden, table, params["mlm"]["output_bias"], labels,
+                    self.config.vocab_size, mesh)
+
         use_fused = self.config.use_fused_loss
         if use_fused:
             # applicability guard: small vocabs use the whole-table-in-VMEM

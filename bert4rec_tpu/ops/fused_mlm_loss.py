@@ -382,7 +382,7 @@ def _pad_vocab(table, bias):
     return table, bias, v
 
 
-def _run_forward_tiled(hidden, table, bias, labels, vocab_size, interpret):
+def _tiled_fwd_call(hidden, table, bias, labels, vocab_size, interpret):
     (hidden, n), (labels, _) = _pad_rows(hidden, ROW_TILE_TILED), \
         _pad_rows(labels, ROW_TILE_TILED)
     if labels.shape[0] > n:
@@ -416,13 +416,36 @@ def _run_forward_tiled(hidden, table, bias, labels, vocab_size, interpret):
         interpret=interpret,
     )(hidden.reshape(tiles, ROW_TILE_TILED, w), table, bias.reshape(1, -1),
       labels.reshape(rows, 1))
+    return out, rows, n
+
+
+def _run_forward_tiled(hidden, table, bias, labels, vocab_size, interpret):
+    out, rows, n = _tiled_fwd_call(hidden, table, bias, labels, vocab_size,
+                                   interpret)
     loss_sum, cv, ca, nv = (o[0, 0] for o in out[:4])
     lse = out[4].reshape(rows, 1)
     return loss_sum, cv, ca, nv, lse, n
 
 
+def _run_forward_tiled_stats(hidden, table, bias, labels, vocab_size,
+                             interpret):
+    """Per-row online-softmax stats (no scalar reductions): used by the
+    vocab-SHARDED loss, which combines stats across shards with
+    pmax/psum before forming the loss (ops/sharded_mlm_loss.py).
+
+    :returns: ``(m, s, ll, arg)`` each ``[n, 1]`` fp32 — running max,
+        sum-exp at ``m``, label logit (0 if the label is not local), and
+        the local argmax index (as float)
+    """
+    out, rows, n = _tiled_fwd_call(hidden, table, bias, labels, vocab_size,
+                                   interpret)
+    m, s, ll, arg = (o.reshape(rows, 1)[:n] for o in out[5:9])
+    return m, s, ll, arg
+
+
 def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
-                   lse_ref, g_ref, dh_ref, *, vocab_size):
+                   lse_ref, g_ref, dh_ref, *, vocab_size,
+                   valid_ge_zero=False):
     j = pl.program_id(1)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
@@ -431,7 +454,10 @@ def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
                                   labels, j * VTILE, vocab_size)
     p = jnp.exp(logits - lse_ref[0])                      # masked cols -> 0
     onehot = (col == labels).astype(jnp.float32)
-    w = (labels > 0).astype(jnp.float32)
+    # sharded callers re-encode labels (local index / positive sentinel for
+    # remote / -1 invalid), making >= 0 the validity test
+    w = ((labels >= 0) if valid_ge_zero else (labels > 0)).astype(
+        jnp.float32)
     scale = g_ref[0, 0] / jnp.maximum(nvalid_ref[0, 0], 1.0)
     dlog = ((p - onehot) * (w * scale)).astype(hidden.dtype)
 
@@ -445,7 +471,8 @@ def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
 
 def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
-                   lse_ref, g_ref, dt_ref, db_ref, *, vocab_size):
+                   lse_ref, g_ref, dt_ref, db_ref, *, vocab_size,
+                   valid_ge_zero=False):
     # grid is (v_tiles, row_tiles): block j is the OUTER dim here so the
     # dt/db accumulators stay resident across the inner row sweep
     i = pl.program_id(1)
@@ -456,7 +483,8 @@ def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
                                   pl.program_id(0) * VTILE, vocab_size)
     p = jnp.exp(logits - lse_ref[0])
     onehot = (col == labels).astype(jnp.float32)
-    w = (labels > 0).astype(jnp.float32)
+    w = ((labels >= 0) if valid_ge_zero else (labels > 0)).astype(
+        jnp.float32)
     scale = g_ref[0, 0] / jnp.maximum(nvalid_ref[0, 0], 1.0)
     dlog = (p - onehot) * (w * scale)
 
@@ -472,7 +500,7 @@ def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
 
 def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
-                        vocab_size, interpret):
+                        vocab_size, interpret, valid_ge_zero=False):
     (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE_TILED), \
         _pad_rows(labels, ROW_TILE_TILED)
     if labels_p.shape[0] > n:
@@ -490,7 +518,8 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
     smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
 
     dh = pl.pallas_call(
-        functools.partial(_bwd_dh_kernel, vocab_size=vocab_size),
+        functools.partial(_bwd_dh_kernel, vocab_size=vocab_size,
+                          valid_ge_zero=valid_ge_zero),
         grid=(tiles, vtiles),
         in_specs=[
             smem,
@@ -513,7 +542,8 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
     )(*scalars, *args)
 
     dt, db = pl.pallas_call(
-        functools.partial(_bwd_dt_kernel, vocab_size=vocab_size),
+        functools.partial(_bwd_dt_kernel, vocab_size=vocab_size,
+                          valid_ge_zero=valid_ge_zero),
         grid=(vtiles, tiles),
         in_specs=[
             smem,

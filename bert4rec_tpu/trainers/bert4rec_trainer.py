@@ -113,10 +113,13 @@ class BERT4RecTrainer(BaseTrainer):
         model_loss = (not self._custom_loss
                       and hasattr(model, "loss_and_metrics"))
 
+        mesh = self.mesh
+
         def loss_and_logs(params, batch, training, rng):
             if model_loss:
+                kwargs = {"mesh": mesh} if mesh is not None else {}
                 loss, logs = model.loss_and_metrics(
-                    params, batch, training=training, rng=rng)
+                    params, batch, training=training, rng=rng, **kwargs)
                 return loss, logs
             out = model.apply(params, batch, training=training, rng=rng)
             logits = out["mlm_logits"]

@@ -181,3 +181,57 @@ class TestRedditScaleSharded:
         np.testing.assert_allclose(np.asarray(scores), np.asarray(dvals),
                                    rtol=1e-5)
         assert np.all(np.asarray(ids) < vocab_size)  # pad ids never surface
+
+
+class TestFusedKernelsOnMesh:
+
+    def test_fused_stack_matches_xla_on_dp_mesh(self):
+        """Pallas kernels under a DP mesh (GSPMD partitions around the
+        opaque calls): losses must match the XLA path exactly (dropout off
+        so the interpret-mode kernels are permitted on CPU)."""
+        seqs = markov_sequences(64, seed=3)
+
+        def run(fused):
+            model = BERT4RecModel(config=BERT4RecConfig(
+                vocab_size=VOCAB, hidden_size=32, num_layers=1,
+                num_attention_heads=4, inner_dim=64, max_sequence_length=SEQ,
+                max_predictions_per_seq=4, attention_dropout=0.0,
+                output_dropout=0.0, use_fused_layer=fused,
+                use_fused_loss=fused))
+            mesh = create_mesh(MeshConfig(model_parallelism=1))
+            trainer = BERT4RecTrainer(model, mesh=mesh)
+            trainer.initialize_model(rng=jax.random.key(0))
+            h = trainer.train(make_ds(seqs), epochs=1, batch_size=32,
+                              verbose=False, seed=1)
+            return h.history["loss"][0]
+
+        np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
+
+    def test_sharded_fused_loss_matches_xla_on_tp_mesh(self):
+        """use_fused_loss on a vocab-SHARDED table routes through the
+        shard_map'd cross-shard kernels; training losses must match the
+        GSPMD/XLA path exactly (dropout off for interpret kernels)."""
+        seqs = markov_sequences(64, seed=4)
+
+        def run(fused):
+            model = BERT4RecModel(config=BERT4RecConfig(
+                vocab_size=VOCAB, hidden_size=32, num_layers=1,
+                num_attention_heads=4, inner_dim=64, max_sequence_length=SEQ,
+                max_predictions_per_seq=4, attention_dropout=0.0,
+                output_dropout=0.0, vocab_pad_to=8,
+                use_fused_loss=fused))
+            mesh = create_mesh(MeshConfig(model_parallelism=8))
+            trainer = BERT4RecTrainer(model, mesh=mesh)
+            trainer.initialize_model(rng=jax.random.key(0))
+            emb = trainer.state["params"]["encoder"]["item_embeddings"][
+                "embedding"]
+            assert emb.sharding.spec == jax.sharding.PartitionSpec(
+                "model", None)
+            h = trainer.train(make_ds(seqs), epochs=2, batch_size=32,
+                              verbose=False, seed=1)
+            return h.history
+
+        hx, hf = run(False), run(True)
+        np.testing.assert_allclose(hx["loss"], hf["loss"], rtol=1e-5)
+        np.testing.assert_allclose(hx["masked_accuracy"],
+                                   hf["masked_accuracy"], rtol=1e-5)
