@@ -90,10 +90,16 @@ class Recommender:
         table they are never even gathered across shards.
         """
         tok = self.dataloader.tokenizer
-        per_seq = [self.dataloader.prepare_inference(list(s))
-                   for s in sequences]
-        batch = {k: jnp.asarray(np.concatenate([d[k] for d in per_seq]))
-                 for k in per_seq[0]}
+        wanted = ("input_word_ids", "input_mask", "masked_lm_positions")
+        if hasattr(self.dataloader, "prepare_inference_batch"):
+            feats = self.dataloader.prepare_inference_batch(
+                [list(s) for s in sequences])
+            batch = {k: jnp.asarray(feats[k]) for k in wanted}
+        else:  # duck-typed dataloaders: per-history fallback
+            per_seq = [self.dataloader.prepare_inference(list(s))
+                       for s in sequences]
+            batch = {k: jnp.asarray(np.concatenate([d[k] for d in per_seq]))
+                     for k in wanted}
 
         specials = list(self.model.special_token_ids)
         seen_lists = [np.asarray(tok.tokenize(list(s)), dtype=np.int32)

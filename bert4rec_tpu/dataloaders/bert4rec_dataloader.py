@@ -185,6 +185,11 @@ class BERT4RecDataloader(BaseDataloader):
         self._push_preprocessor_config()
         return self.preprocessor.prepare_inference(data)
 
+    def prepare_inference_batch(self, sequences) -> dict:
+        """Vectorized prepare_inference over many histories (serving)."""
+        self._push_preprocessor_config()
+        return self.preprocessor.prepare_inference_batch(sequences)
+
     def create_item_list(self) -> list:
         raise NotImplementedError(
             "This method hasn't been implemented yet in this dataloader "

@@ -132,3 +132,23 @@ class BERT4RecPreprocessor(BasePreprocessor):
         features = self.process_element(sequence, apply_mlm=True,
                                         finetuning=True)
         return {k: v[None, ...] for k, v in features.items()}
+
+    def prepare_inference_batch(self, sequences) -> dict:
+        """Vectorized :meth:`prepare_inference` for many histories at once
+        (the serving hot path): one tokenize pass + one vectorized
+        last-token masking pass, identical features row-for-row."""
+        tokens = []
+        for data in sequences:
+            if not isinstance(data, list):
+                raise ValueError(
+                    "To prepare data for inference, please simply put in "
+                    "an unprocessed sequence of data (i.e. a list of "
+                    "strings).")
+            seq = list(data[-self.max_seq_len + 1:]) + ["[UNK]"]
+            tokens.append(np.asarray(self.tokenizer.tokenize(seq),
+                                     dtype=np.int32))
+        ds = ProcessedDataset(
+            tokens, self._masking_config(),
+            vocab_size_fn=self.tokenizer.get_vocab_size,
+            apply_mlm=True, finetuning=np.ones(len(tokens), bool))
+        return ds.materialize()

@@ -182,3 +182,18 @@ def test_temporal_through_dataloader_get_data():
     assert (batch["input_timestamps"][pad] == 0).all()
     real = ~pad
     assert (batch["input_timestamps"][real] >= 1_500_000_000).all()
+
+
+def test_prepare_inference_batch_matches_per_element():
+    """The vectorized serving prep must equal per-history prepare_inference
+    row-for-row (last-token masking is deterministic)."""
+    from bert4rec_tpu.dataloaders import BERT4RecDataloader
+    dl = BERT4RecDataloader(max_seq_len=8, max_predictions_per_seq=2)
+    vocab = [f"w{i}" for i in range(20)]
+    dl.generate_vocab(vocab)
+    histories = [vocab[:3], vocab[5:11], vocab[2:12]]  # incl. over-long
+    batched = dl.prepare_inference_batch(histories)
+    for i, h in enumerate(histories):
+        single = dl.prepare_inference(list(h))
+        for k, v in single.items():
+            np.testing.assert_array_equal(batched[k][i], v[0], err_msg=k)
