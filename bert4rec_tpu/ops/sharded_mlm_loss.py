@@ -56,7 +56,7 @@ def _shard_offset(v_local):
 
 
 def _fwd_block(hidden_l, table_l, bias_l, labels_l, *, vocab_size,
-               interpret):
+               interpret, has_data_axis=True):
     v_local = table_l.shape[0]
     offset = _shard_offset(v_local)
     lab_local = labels_l.astype(jnp.int32) - offset
@@ -84,7 +84,8 @@ def _fwd_block(hidden_l, table_l, bias_l, labels_l, *, vocab_size,
 
     # reduce the scalars over the data axis so every device agrees
     def data_sum(x):
-        return jax.lax.psum(jnp.sum(x), DATA_AXIS)
+        s = jnp.sum(x)
+        return jax.lax.psum(s, DATA_AXIS) if has_data_axis else s
 
     return (data_sum(nll), data_sum(correct * w), data_sum(correct),
             data_sum(w), lse)
@@ -128,7 +129,8 @@ def _fwd_impl(hidden, table, bias, labels, vocab_size, mesh, interpret):
     sp = _local_specs(mesh)
     fn = jax.shard_map(
         functools.partial(_fwd_block, vocab_size=vocab_size,
-                          interpret=interpret),
+                          interpret=interpret,
+                          has_data_axis=DATA_AXIS in mesh.axis_names),
         mesh=mesh,
         in_specs=(sp["hidden"], sp["table"], sp["bias"], sp["labels"]),
         out_specs=(P(), P(), P(), P(), sp["lse"]),
