@@ -61,7 +61,11 @@ def build_model_and_mesh():
     model = BERT4RecModel(config=BERT4RecConfig(
         vocab_size=VOCAB, hidden_size=32, num_layers=2,
         num_attention_heads=4, inner_dim=64, max_sequence_length=SEQ,
-        max_predictions_per_seq=4, vocab_pad_to=8))
+        max_predictions_per_seq=4, vocab_pad_to=8,
+        # route training through the shard_map'd cross-shard fused loss
+        # (interpret kernels on CPU) — proven against the single-process
+        # oracle like everything else
+        use_fused_loss=True))
     return model, mesh
 
 
