@@ -89,11 +89,13 @@ def run_real(args):
 
     config = config_pkg.load_train_config(
         args.config, vocab_size=tokenizer.get_vocab_size())
-    if jax.devices()[0].platform == "tpu":
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
         config = config.replace(use_fused_layer=True, use_fused_loss=True)
     model = BERT4RecModel(config=config)
 
-    trainer = trainers.get("bert4rec", model=model)
+    trainer = trainers.get("bert4rec", model=model,
+                           steps_per_call=4 if on_tpu else 1)
     # the reference's exact optimizer settings
     trainer.initialize_model(
         optimizer=optimizers.create_adam_w_optimizer(
