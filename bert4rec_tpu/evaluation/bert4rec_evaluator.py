@@ -340,9 +340,13 @@ class BERT4RecEvaluator(BaseEvaluator):
 
         if hasattr(test_ds, "batches"):
             # a mesh needs device-divisible batches: zero-pad the final one
-            # (padded rows carry weight 0 and never reach the metrics)
-            batches = test_ds.batches(batch_size, shuffle=False, seed=seed,
-                                      pad_final_batch=self.mesh is not None)
+            # (padded rows carry weight 0 and never reach the metrics);
+            # host masking of batch k+1 overlaps batch k's scoring
+            from bert4rec_tpu.utils.prefetch import prefetch
+            batches = prefetch(
+                test_ds.batches(batch_size, shuffle=False, seed=seed,
+                                pad_final_batch=self.mesh is not None),
+                depth=2)
         else:
             batches = test_ds
         iterator = batches
