@@ -30,7 +30,8 @@ WARMUP_STEPS = 5
 MEASURE_STEPS_DEVICE = 100
 MEASURE_STEPS_CPU = 3
 WORKER_TIMEOUT_S = 480
-RETRY_COOLDOWN_S = 60
+RETRY_COOLDOWN_S = 90
+DEVICE_ATTEMPTS = 3
 
 
 def build(model_cfg_overrides=None, steps_per_call=None):
@@ -163,16 +164,17 @@ def main():
         return
 
     device_result = None
-    for attempt in range(2):
+    for attempt in range(DEVICE_ATTEMPTS):
         try:
             device_result = run_worker("--device-worker")
         except subprocess.TimeoutExpired:
             sys.stderr.write(
                 f"[bench] device worker hit the {WORKER_TIMEOUT_S}s "
-                f"deadline (attempt {attempt + 1})\n")
+                f"deadline (attempt {attempt + 1}; the tunneled TPU "
+                f"occasionally wedges at claim time)\n")
         if device_result is not None:
             break
-        time.sleep(RETRY_COOLDOWN_S)
+        time.sleep(RETRY_COOLDOWN_S * (attempt + 1))  # wedges need time
 
     cpu_result = None
     try:
