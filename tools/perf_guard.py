@@ -28,12 +28,13 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # measured r2 (v5e): xla 18.3, fused_layer 9.3, fused_full 8.9,
-# fused_multi4 7.1 ms/step; budgets leave ~20% headroom before the guard
-# trips
+# fused_multi4 7.1 ms/step; ml20m_tiled (ml-20m_256 + vocab-tiled fused
+# loss) 19.9 ms. Budgets leave ~20% headroom before the guard trips
 BUDGET_MS = {
     "fused_full": 11.0,
     "fused_layer": 12.5,
     "fused_multi4": 8.8,
+    "ml20m_tiled": 24.0,
 }
 MIN_SPEEDUP_FUSED_VS_XLA = 1.5
 
@@ -76,26 +77,49 @@ def main(argv=None):
         "fused_layer": build_trainer(True, False),
         "fused_full": build_trainer(True, True),
         "fused_multi4": build_trainer(True, True, steps_per_call=4),
+        # ML-20M scale: 26.7k vocab routes through the vocab-tiled
+        # flash-softmax loss (ml-20m_256 encoder dims)
+        "ml20m_tiled": bench.build(
+            dict(vocab_size=26732, hidden_size=256, num_attention_heads=8,
+                 inner_dim=1024, use_fused_layer=True, use_fused_loss=True),
+            steps_per_call=4),
     }
+    ml20m_batches = None
+
+    def batches_for(name):
+        nonlocal ml20m_batches
+        if name != "ml20m_tiled":
+            return batches, stacks
+        if ml20m_batches is None:
+            old = bench.VOCAB
+            bench.VOCAB = 26732
+            bs = [make_batch(s) for s in range(4)]
+            bench.VOCAB = old
+            st = [{key: np.stack([bs[(i + j) % 4][key] for j in range(4)])
+                   for key in bs[0]} for i in range(2)]
+            ml20m_batches = (bs, st)
+        return ml20m_batches
+
     batches = [make_batch(s) for s in range(4)]
     stacks = [{key: np.stack([batches[(i + j) % 4][key] for j in range(4)])
                for key in batches[0]} for i in range(2)]
 
-    def run_steps(trainer, n):
+    def run_steps(trainer, n, name="xla"):
+        bs, st = batches_for(name)
         k = trainer.steps_per_call
         if k > 1:
             for i in range(n // k):
                 trainer.state, logs = trainer._train_multi_fn(
-                    trainer.state, stacks[i % len(stacks)])
+                    trainer.state, st[i % len(st)])
             return {"loss": logs["loss"][-1]}
         for i in range(n):
             trainer.state, logs = trainer._train_step_fn(
-                trainer.state, batches[i % len(batches)])
+                trainer.state, bs[i % len(bs)])
         return logs
 
     # compile + warm every variant before any timing
     for name, tr in variants.items():
-        logs = run_steps(tr, WARMUP)
+        logs = run_steps(tr, max(WARMUP, tr.steps_per_call), name)
         float(jax.device_get(logs["loss"]))
 
     best_ms = {name: float("inf") for name in variants}
@@ -104,7 +128,7 @@ def main(argv=None):
             k = tr.steps_per_call
             n_exec = (STEPS_PER_ROUND // k) * k
             t0 = time.perf_counter()
-            logs = run_steps(tr, n_exec)
+            logs = run_steps(tr, n_exec, name)
             float(jax.device_get(logs["loss"]))  # honest barrier
             ms = (time.perf_counter() - t0) * 1000 / n_exec
             best_ms[name] = min(best_ms[name], ms)
