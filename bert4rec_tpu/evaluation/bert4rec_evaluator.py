@@ -142,6 +142,12 @@ class BERT4RecEvaluator(BaseEvaluator):
         if self.mesh is None:
             return arrays
         from bert4rec_tpu.core import partitioning
+        b = np.asarray(next(iter(arrays.values()))).shape[0]
+        data_size = dict(self.mesh.shape).get("data", 1)
+        if b % max(data_size, 1) != 0:
+            raise ValueError(
+                f"evaluation batch size {b} does not divide the mesh's "
+                f"'data' axis ({data_size} devices) — pick a multiple")
         shard = {k: jax.sharding.NamedSharding(
             self.mesh, partitioning.make_batch_specs(
                 {"x": np.asarray(v)})["x"])

@@ -176,6 +176,15 @@ class BERT4RecTrainer(BaseTrainer):
         if self.mesh is None:
             return batch
 
+        first = np.asarray(next(iter(batch.values())))
+        b = first.shape[1] if stacked else first.shape[0]
+        data_size = dict(self.mesh.shape).get("data", 1)
+        if b % max(data_size, 1) != 0:
+            raise ValueError(
+                f"batch size {b} does not divide the mesh's 'data' axis "
+                f"({data_size} devices) — pick a batch size that is a "
+                f"multiple of it (got mesh {dict(self.mesh.shape)})")
+
         def spec(v):
             v = np.asarray(v)
             base = partitioning.make_batch_specs(

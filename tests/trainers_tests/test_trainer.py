@@ -332,3 +332,15 @@ class TestMultiStepDispatch:
         h = trainer.train(ds, epochs=2, batch_size=32, verbose=False)
         assert np.isfinite(h.history["loss"]).all()
         assert int(trainer.state["step"]) == 4
+
+
+class TestMeshBatchValidation:
+
+    def test_indivisible_batch_raises_clearly(self):
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(model_parallelism=1))  # data=8
+        trainer = BERT4RecTrainer(make_model(), mesh=mesh)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=32)
+        with pytest.raises(ValueError, match="'data' axis"):
+            trainer.train(ds, epochs=1, batch_size=12, verbose=False)
