@@ -227,16 +227,26 @@ class BERT4RecTrainer(BaseTrainer):
 
         history = History()
         callbacks = [history] + list(self.callbacks)
+        start_epoch = 0
         if checkpoint_path is not None:
             callbacks.append(ModelCheckpoint(checkpoint_path,
                                              verbose=verbose))
-            # auto-resume (reference :53-58)
+            # auto-resume (reference :53-58) — and continue the EPOCH loop
+            # where training left off, so per-epoch masking seeds
+            # (seed + epoch) don't replay from epoch 0 against a
+            # mid-training optimizer state
             try:
                 self.load_checkpoint(checkpoint_path)
+                if hasattr(train_ds, "__len__") and len(train_ds):
+                    spe = steps_per_epoch or max(
+                        1, len(train_ds) // batch_size)
+                    start_epoch = min(int(self.state["step"]) // spe,
+                                      epochs)
                 if verbose:
                     print(f"[resume] restored train state from "
                           f"{checkpoint_path} at step "
-                          f"{int(self.state['step'])}")
+                          f"{int(self.state['step'])} "
+                          f"(continuing at epoch {start_epoch + 1})")
             except FileNotFoundError:
                 pass
 
@@ -248,7 +258,7 @@ class BERT4RecTrainer(BaseTrainer):
         profiling = False
         global_step = 0
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             sums, wsums, count = {}, {}, 0
             n_examples = 0

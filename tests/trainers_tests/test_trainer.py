@@ -344,3 +344,35 @@ class TestMeshBatchValidation:
         ds = make_dataset(n=32)
         with pytest.raises(ValueError, match="'data' axis"):
             trainer.train(ds, epochs=1, batch_size=12, verbose=False)
+
+
+class TestEpochAwareResume:
+
+    def test_resume_continues_epoch_loop(self, tmp_path):
+        """Auto-resume must continue at the next epoch (fresh masking
+        seeds), not replay epoch 0 against the restored optimizer state."""
+        path = tmp_path / "best.npz"
+        ds = make_dataset(n=64)
+        val = make_dataset(n=16, seed=1)
+        spe = 64 // 16  # 4 steps/epoch at batch 16
+
+        t1 = BERT4RecTrainer(make_model())
+        t1.initialize_model(rng=jax.random.key(0))
+        t1.train(ds, val, checkpoint_path=path, epochs=2, batch_size=16,
+                 verbose=False)
+        assert int(t1.state["step"]) == 2 * spe
+
+        # the checkpoint holds the BEST epoch's state (epoch 1 or 2)
+        probe = BERT4RecTrainer(make_model())
+        probe.initialize_model(rng=jax.random.key(9))
+        probe.load_checkpoint(path)
+        ckpt_epochs = int(probe.state["step"]) // spe
+        assert ckpt_epochs >= 1
+
+        t2 = BERT4RecTrainer(make_model())
+        t2.initialize_model(rng=jax.random.key(5))
+        h = t2.train(ds, val, checkpoint_path=path, epochs=5, batch_size=16,
+                     verbose=False)
+        # resumed at the checkpoint's epoch: only the remainder ran
+        assert len(h.history["loss"]) == 5 - ckpt_epochs
+        assert int(t2.state["step"]) == 5 * spe
