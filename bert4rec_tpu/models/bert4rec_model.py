@@ -108,7 +108,8 @@ class BERT4RecModel:
         ops/candidate_scoring.py)."""
         from bert4rec_tpu.ops import candidate_scoring
         outputs = self.encoder.apply(
-            params["encoder"], inputs["input_word_ids"], inputs["input_mask"])
+            params["encoder"], inputs["input_word_ids"], inputs["input_mask"],
+            input_timestamps=inputs.get("input_timestamps"))
         hidden = self.mlm_transform(params, outputs["sequence_output"],
                                     inputs["masked_lm_positions"])
         table = Bert4RecEncoder.get_embedding_table(params["encoder"])
@@ -140,7 +141,8 @@ class BERT4RecModel:
                 )
                 enc = self.encoder.apply(
                     params["encoder"], inputs["input_word_ids"],
-                    inputs["input_mask"], training=training, rng=rng)
+                    inputs["input_mask"], training=training, rng=rng,
+                    input_timestamps=inputs.get("input_timestamps"))
                 hidden = self.mlm_transform(
                     params, enc["sequence_output"],
                     inputs["masked_lm_positions"])
@@ -163,7 +165,8 @@ class BERT4RecModel:
             from bert4rec_tpu.ops.fused_mlm_loss import mlm_loss_and_metrics
             enc = self.encoder.apply(
                 params["encoder"], inputs["input_word_ids"],
-                inputs["input_mask"], training=training, rng=rng)
+                inputs["input_mask"], training=training, rng=rng,
+                input_timestamps=inputs.get("input_timestamps"))
             hidden = self.mlm_transform(params, enc["sequence_output"],
                                         inputs["masked_lm_positions"])
             table = Bert4RecEncoder.get_embedding_table(params["encoder"])
@@ -194,7 +197,8 @@ class BERT4RecModel:
         outputs = dict(self.encoder.apply(
             params["encoder"],
             inputs["input_word_ids"], inputs["input_mask"],
-            training=training, rng=rng, output_range=output_range))
+            training=training, rng=rng, output_range=output_range,
+            input_timestamps=inputs.get("input_timestamps")))
 
         if "masked_lm_positions" in inputs:
             logits = self.mlm_logits(params, outputs["sequence_output"],

@@ -66,6 +66,12 @@ class Bert4RecEncoder:
                 and cfg.embedding_width != cfg.hidden_size:
             params["embedding_projection"] = L.init_dense(
                 keys[3], cfg.embedding_width, cfg.hidden_size, stddev)
+        if cfg.use_temporal_embeddings:
+            # beyond-parity: recency-bucket embedding consuming the temporal
+            # preprocessor's input_timestamps (see BERT4RecConfig)
+            params["temporal_embeddings"] = L.init_embedding(
+                jax.random.fold_in(keys[0], 7), cfg.temporal_buckets,
+                cfg.table_width, stddev)
         return params
 
     # ------------------------------------------------------------------ #
@@ -76,13 +82,17 @@ class Bert4RecEncoder:
               *,
               training: bool = False,
               rng: Optional[jax.Array] = None,
-              output_range: Optional[int] = None) -> dict:
+              output_range: Optional[int] = None,
+              input_timestamps: Optional[jnp.ndarray] = None) -> dict:
         """Forward pass.
 
         :param input_word_ids: ``[B, S]`` int item ids
         :param input_mask: ``[B, S]`` 1 for real tokens, 0 for padding
         :param output_range: compute only the first ``output_range`` positions
             of the final layer (reference's last-block slicing, :218-222)
+        :param input_timestamps: optional ``[B, S]`` int64 epoch seconds
+            (temporal preprocessor); used iff
+            ``config.use_temporal_embeddings``
         :returns: dict with ``sequence_output`` ``[B, S(or R), H]``,
             ``pooled_output`` ``[B, H]``, ``encoder_outputs`` list per layer.
         """
@@ -99,6 +109,11 @@ class Bert4RecEncoder:
                                compute_dtype)
         x = x + L.position_embedding(params["position_embeddings"], seq_len,
                                      compute_dtype)
+        if "temporal_embeddings" in params:
+            buckets = self._recency_buckets(input_timestamps, input_mask,
+                                            cfg.temporal_buckets)
+            x = x + L.embedding_lookup(params["temporal_embeddings"],
+                                       buckets, compute_dtype)
         x = L.layer_norm(params["embedding_norm"], x)
         x = L.dropout(rngs[0], x, cfg.output_dropout, training)
 
@@ -176,6 +191,23 @@ class Bert4RecEncoder:
         }
 
     # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _recency_buckets(input_timestamps, input_mask, n_buckets):
+        """``[B, S]`` log2 recency buckets: 0 = newest event (or no
+        timestamps at all — a learned "no signal" vector), growing with
+        seconds-before-the-sequence's-latest-event. jit-safe, static
+        shapes."""
+        if input_timestamps is None:
+            return jnp.zeros_like(input_mask, dtype=jnp.int32)
+        ts = input_timestamps.astype(jnp.float32)
+        valid = input_mask > 0
+        newest = jnp.max(jnp.where(valid, ts, -jnp.inf), axis=1,
+                         keepdims=True)
+        delta = jnp.maximum(newest - ts, 0.0)
+        bucket = jnp.floor(jnp.log2(delta + 1.0)).astype(jnp.int32)
+        bucket = jnp.clip(bucket, 0, n_buckets - 1)
+        return jnp.where(valid, bucket, 0)
 
     @staticmethod
     def get_embedding_table(params: dict) -> jnp.ndarray:

@@ -64,6 +64,14 @@ class BERT4RecConfig:
     vocab_pad_to: Optional[int] = None
     # training-time feature contract
     max_predictions_per_seq: int = 40
+    # BEYOND-PARITY: consume the temporal preprocessor's aligned
+    # ``input_timestamps`` (the reference ships the preprocessor but no
+    # model consumes it). When enabled, a learned embedding over
+    # log2-bucketized recency (time before the sequence's newest event) is
+    # added to the token+position embeddings; batches without timestamps
+    # fall back to bucket 0 (a learned "no signal" vector).
+    use_temporal_embeddings: bool = False
+    temporal_buckets: int = 32
 
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:

@@ -51,6 +51,21 @@ def main():
     model_input = dataloader.preprocessor.prepare_inference(items, ts)
     print("inference features:", {k: v.shape for k, v in model_input.items()})
 
+    # beyond parity: a model that CONSUMES the timestamps — learned
+    # recency-bucket embeddings (the reference ships the temporal
+    # preprocessor but no model uses it)
+    import jax
+    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+    model = BERT4RecModel(config=BERT4RecConfig(
+        vocab_size=dataloader.tokenizer.get_vocab_size(), hidden_size=32,
+        num_layers=1, num_attention_heads=4, inner_dim=64,
+        max_sequence_length=dataloader._MAX_SEQ_LENGTH,
+        max_predictions_per_seq=dataloader._MAX_PREDICTIONS_PER_SEQ,
+        use_temporal_embeddings=True))
+    params = model.init(jax.random.key(0))
+    out = model.apply(params, batch)
+    print("temporal model mlm_logits:", out["mlm_logits"].shape)
+
 
 if __name__ == "__main__":
     main()

@@ -200,3 +200,79 @@ class TestFusedLayerGuards:
         ids, mask = make_inputs(batch=1, seq=512, vocab=50)
         out = enc.apply(params, ids, mask)
         assert out["sequence_output"].shape == (1, 512, 768)
+
+
+class TestTemporalEmbeddings:
+    """Beyond-parity: the encoder consumes the temporal preprocessor's
+    input_timestamps via learned recency-bucket embeddings (opt-in)."""
+
+    def _cfg(self, **kw):
+        return small_config(use_temporal_embeddings=True, num_layers=1,
+                            **kw)
+
+    def test_off_by_default_and_ignores_timestamps(self):
+        enc = Bert4RecEncoder(small_config(num_layers=1))
+        params = enc.init(jax.random.key(0))
+        assert "temporal_embeddings" not in params
+        ids, mask = make_inputs(batch=2)
+        ts = jnp.asarray(np.arange(2 * 21).reshape(2, 21) * 1000)
+        a = enc.apply(params, ids, mask)["sequence_output"]
+        b = enc.apply(params, ids, mask,
+                      input_timestamps=ts)["sequence_output"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_timestamps_change_output_when_enabled(self):
+        enc = Bert4RecEncoder(self._cfg())
+        params = enc.init(jax.random.key(0))
+        assert params["temporal_embeddings"]["embedding"].shape == (32, 32)
+        ids, mask = make_inputs(batch=2)
+        base = np.int64(1_700_000_000)
+        ts_a = jnp.full((2, 21), base) + jnp.arange(21) * 3600
+        ts_b = jnp.full((2, 21), base) + jnp.arange(21) * 86400
+        out_a = enc.apply(params, ids, mask,
+                          input_timestamps=ts_a)["sequence_output"]
+        out_b = enc.apply(params, ids, mask,
+                          input_timestamps=ts_b)["sequence_output"]
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+        # no timestamps -> bucket 0 everywhere, still runs
+        out_c = enc.apply(params, ids, mask)["sequence_output"]
+        assert np.isfinite(np.asarray(out_c)).all()
+
+    def test_recency_buckets_law(self):
+        ts = jnp.asarray([[100, 200, 1000, 0]])
+        mask = jnp.asarray([[1, 1, 1, 0]])
+        b = Bert4RecEncoder._recency_buckets(ts, mask, 32)
+        got = np.asarray(b)[0]
+        # newest valid event (1000) -> bucket 0; 900s ago -> log2(901)~9.8
+        # -> 9; 800s ago -> 9; pad -> 0
+        assert got[2] == 0 and got[3] == 0
+        assert got[0] == int(np.floor(np.log2(901)))
+        assert got[1] == int(np.floor(np.log2(801)))
+
+    def test_trains_through_the_model(self):
+        """Full model + trainer smoke over a temporal dataset."""
+        from bert4rec_tpu.dataloaders.processed_dataset import (
+            MaskingConfig, ProcessedDataset,
+        )
+        from bert4rec_tpu.models import BERT4RecModel
+        from bert4rec_tpu.trainers import BERT4RecTrainer
+
+        rng = np.random.default_rng(0)
+        seqs, tss = [], []
+        for _ in range(32):
+            n = int(rng.integers(4, 12))
+            seqs.append(rng.integers(3, 50, size=n).astype(np.int32))
+            tss.append(np.sort(rng.integers(1e9, 2e9, size=n)))
+        cfg = MaskingConfig(max_seq_len=12, max_predictions_per_seq=3,
+                            mask_token_id=1, pad_token_id=0, unk_token_id=2)
+        ds = ProcessedDataset(seqs, cfg, lambda: 50, timestamps=tss)
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=50, hidden_size=32, num_layers=1,
+            num_attention_heads=4, inner_dim=64, max_sequence_length=12,
+            max_predictions_per_seq=3, use_temporal_embeddings=True))
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        batch = next(ds.batches(16, seed=0))
+        assert "input_timestamps" in batch
+        h = trainer.train(ds, epochs=2, batch_size=16, verbose=False)
+        assert np.isfinite(h.history["loss"]).all()
