@@ -174,7 +174,8 @@ def main():
                 f"occasionally wedges at claim time)\n")
         if device_result is not None:
             break
-        time.sleep(RETRY_COOLDOWN_S * (attempt + 1))  # wedges need time
+        if attempt < DEVICE_ATTEMPTS - 1:
+            time.sleep(RETRY_COOLDOWN_S * (attempt + 1))  # wedges need time
 
     cpu_result = None
     try:

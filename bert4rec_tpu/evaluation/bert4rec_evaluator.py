@@ -143,11 +143,13 @@ class BERT4RecEvaluator(BaseEvaluator):
             return arrays
         from bert4rec_tpu.core import partitioning
         b = np.asarray(next(iter(arrays.values()))).shape[0]
+        b_global = b * jax.process_count()  # local slice under multi-host
         data_size = dict(self.mesh.shape).get("data", 1)
-        if b % max(data_size, 1) != 0:
+        if b_global % max(data_size, 1) != 0:
             raise ValueError(
-                f"evaluation batch size {b} does not divide the mesh's "
-                f"'data' axis ({data_size} devices) — pick a multiple")
+                f"global evaluation batch size {b_global} ({b} per "
+                f"process) does not divide the mesh's 'data' axis "
+                f"({data_size} devices) — pick a multiple")
         shard = {k: jax.sharding.NamedSharding(
             self.mesh, partitioning.make_batch_specs(
                 {"x": np.asarray(v)})["x"])

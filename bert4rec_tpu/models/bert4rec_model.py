@@ -101,18 +101,27 @@ class BERT4RecModel:
         x = L.get_activation(self.config.inner_activation)(x)
         return L.layer_norm(params["mlm"]["transform_norm"], x)
 
+    def _mlm_hidden_and_table(self, params: dict, inputs: dict, *,
+                              training: bool = False,
+                              rng: Optional[jax.Array] = None) -> tuple:
+        """Shared front half of every head-fused path: encoder forward +
+        MLM transform of the masked positions + the tied table."""
+        enc = self.encoder.apply(
+            params["encoder"], inputs["input_word_ids"],
+            inputs["input_mask"], training=training, rng=rng,
+            input_timestamps=inputs.get("input_timestamps"))
+        hidden = self.mlm_transform(params, enc["sequence_output"],
+                                    inputs["masked_lm_positions"])
+        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+        return hidden, table
+
     def score_candidates(self, params: dict, inputs: dict,
                          candidates: jnp.ndarray) -> jnp.ndarray:
         """Candidate-only MLM logits ``[B, P, C]`` — never materializes the
         ``[B, P, V]`` full-vocab logits (the eval hot path; see
         ops/candidate_scoring.py)."""
         from bert4rec_tpu.ops import candidate_scoring
-        outputs = self.encoder.apply(
-            params["encoder"], inputs["input_word_ids"], inputs["input_mask"],
-            input_timestamps=inputs.get("input_timestamps"))
-        hidden = self.mlm_transform(params, outputs["sequence_output"],
-                                    inputs["masked_lm_positions"])
-        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+        hidden, table = self._mlm_hidden_and_table(params, inputs)
         return candidate_scoring.score_candidates(
             hidden, table, params["mlm"]["output_bias"], candidates)
 
@@ -139,15 +148,8 @@ class BERT4RecModel:
                 from bert4rec_tpu.ops.sharded_mlm_loss import (
                     sharded_mlm_loss_and_metrics,
                 )
-                enc = self.encoder.apply(
-                    params["encoder"], inputs["input_word_ids"],
-                    inputs["input_mask"], training=training, rng=rng,
-                    input_timestamps=inputs.get("input_timestamps"))
-                hidden = self.mlm_transform(
-                    params, enc["sequence_output"],
-                    inputs["masked_lm_positions"])
-                table = Bert4RecEncoder.get_embedding_table(
-                    params["encoder"])
+                hidden, table = self._mlm_hidden_and_table(
+                    params, inputs, training=training, rng=rng)
                 return sharded_mlm_loss_and_metrics(
                     hidden, table, params["mlm"]["output_bias"], labels,
                     self.config.vocab_size, mesh)
@@ -163,13 +165,8 @@ class BERT4RecModel:
                                              self.config.table_width)
         if use_fused:
             from bert4rec_tpu.ops.fused_mlm_loss import mlm_loss_and_metrics
-            enc = self.encoder.apply(
-                params["encoder"], inputs["input_word_ids"],
-                inputs["input_mask"], training=training, rng=rng,
-                input_timestamps=inputs.get("input_timestamps"))
-            hidden = self.mlm_transform(params, enc["sequence_output"],
-                                        inputs["masked_lm_positions"])
-            table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+            hidden, table = self._mlm_hidden_and_table(
+                params, inputs, training=training, rng=rng)
             return mlm_loss_and_metrics(
                 hidden, table, params["mlm"]["output_bias"], labels,
                 self.config.vocab_size)

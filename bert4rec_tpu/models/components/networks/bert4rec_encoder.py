@@ -200,11 +200,17 @@ class Bert4RecEncoder:
         shapes."""
         if input_timestamps is None:
             return jnp.zeros_like(input_mask, dtype=jnp.int32)
-        ts = input_timestamps.astype(jnp.float32)
+        # subtract in INTEGER time: float32 epoch seconds quantize to
+        # ~128 s (ulp at 1.7e9), which would destroy the small-recency
+        # buckets; only the small delta is safe to take to float. int32
+        # differences are exact for seconds-resolution stamps (x64 is off
+        # in jax by default, and wraparound preserves differences under
+        # 2^31 s ≈ 68 years).
+        ts = input_timestamps.astype(jnp.int32)
         valid = input_mask > 0
-        newest = jnp.max(jnp.where(valid, ts, -jnp.inf), axis=1,
-                         keepdims=True)
-        delta = jnp.maximum(newest - ts, 0.0)
+        newest = jnp.max(jnp.where(valid, ts, jnp.iinfo(jnp.int32).min),
+                         axis=1, keepdims=True)
+        delta = jnp.maximum(newest - ts, 0).astype(jnp.float32)
         bucket = jnp.floor(jnp.log2(delta + 1.0)).astype(jnp.int32)
         bucket = jnp.clip(bucket, 0, n_buckets - 1)
         return jnp.where(valid, bucket, 0)

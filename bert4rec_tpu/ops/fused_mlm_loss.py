@@ -537,7 +537,10 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
         ],
         out_specs=pl.BlockSpec((1, ROW_TILE_TILED, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, w), hidden.dtype),
+        # fp32 accumulator: dh sums across every vocab tile — bf16
+        # accumulation over hundreds of partials would lose precision
+        out_shape=jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, w),
+                                       jnp.float32),
         interpret=interpret,
     )(*scalars, *args)
 
@@ -598,7 +601,8 @@ def _fused_tiled_bwd(vocab_size, interpret, residuals, g):
     dh, dt, db = _run_backward_tiled(hidden, table, bias, labels,
                                      lse[:hidden.shape[0]], g[0], nv,
                                      vocab_size, interpret)
-    return dh, dt.astype(table.dtype), db.astype(bias.dtype), None
+    return (dh.astype(hidden.dtype), dt.astype(table.dtype),
+            db.astype(bias.dtype), None)
 
 
 fused_mlm_loss_tiled.defvjp(_fused_tiled_fwd, _fused_tiled_bwd)

@@ -164,7 +164,8 @@ def _sharded_vjp_bwd(vocab_size, mesh, interpret, residuals, g):
     dh, dt, db = fn(hidden, table, bias, labels, lse,
                     jnp.asarray(g[0], jnp.float32),
                     jnp.asarray(nv, jnp.float32))
-    return dh, dt.astype(table.dtype), db.astype(bias.dtype), None
+    return (dh.astype(hidden.dtype), dt.astype(table.dtype),
+            db.astype(bias.dtype), None)
 
 
 sharded_fused_mlm_loss.defvjp(_sharded_vjp_fwd, _sharded_vjp_bwd)

@@ -44,6 +44,7 @@ class BERT4RecTrainer(BaseTrainer):
         self.mesh = mesh
         self.steps_per_call = max(1, int(steps_per_call))
         self.state = None          # {"params", "opt_state", "step", "rng"}
+        self._epochs_completed = None
         self._train_step_fn = None
         self._train_multi_fn = None
         self._eval_step_fn = None
@@ -178,12 +179,15 @@ class BERT4RecTrainer(BaseTrainer):
 
         first = np.asarray(next(iter(batch.values())))
         b = first.shape[1] if stacked else first.shape[0]
+        # under multi-host each process holds a LOCAL slice; the GLOBAL
+        # batch is what must divide the 'data' axis
+        b_global = b * jax.process_count()
         data_size = dict(self.mesh.shape).get("data", 1)
-        if b % max(data_size, 1) != 0:
+        if b_global % max(data_size, 1) != 0:
             raise ValueError(
-                f"batch size {b} does not divide the mesh's 'data' axis "
-                f"({data_size} devices) — pick a batch size that is a "
-                f"multiple of it (got mesh {dict(self.mesh.shape)})")
+                f"global batch size {b_global} ({b} per process) does not "
+                f"divide the mesh's 'data' axis ({data_size} devices) — "
+                f"pick a multiple (got mesh {dict(self.mesh.shape)})")
 
         def spec(v):
             v = np.asarray(v)
@@ -237,7 +241,11 @@ class BERT4RecTrainer(BaseTrainer):
             # mid-training optimizer state
             try:
                 self.load_checkpoint(checkpoint_path)
-                if hasattr(train_ds, "__len__") and len(train_ds):
+                if self._epochs_completed is not None:
+                    # exact: the checkpoint records its epoch count
+                    start_epoch = min(self._epochs_completed, epochs)
+                elif hasattr(train_ds, "__len__") and len(train_ds):
+                    # legacy checkpoints: derive from the step counter
                     spe = steps_per_epoch or max(
                         1, len(train_ds) // batch_size)
                     start_epoch = min(int(self.state["step"]) // spe,
@@ -352,6 +360,10 @@ class BERT4RecTrainer(BaseTrainer):
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items()))
                 print(f"epoch {epoch + 1}/{epochs}: {msg}")
 
+            # recorded into checkpoints saved by on_epoch_end callbacks so
+            # resume can continue at the right epoch exactly
+            self._epochs_completed = epoch + 1
+
             stop = False
             for cb in callbacks:
                 cb.on_epoch_end(self, epoch, logs)
@@ -399,13 +411,23 @@ class BERT4RecTrainer(BaseTrainer):
     # ------------------------------------------------------------------ #
 
     def save_checkpoint(self, path) -> None:
-        ckpt_lib.save_pytree(path, self.state)
+        tree = dict(self.state)
+        tree["epoch"] = np.int32(getattr(self, "_epochs_completed", 0) or 0)
+        ckpt_lib.save_pytree(path, tree)
 
     def load_checkpoint(self, path) -> None:
         if self.state is None:
             raise RuntimeError("Call initialize_model before load_checkpoint")
         restored = ckpt_lib.load_pytree(path, self.state)
         self.state = self._place(restored)
+        # optional epoch record (absent in legacy checkpoints)
+        self._epochs_completed = None
+        try:
+            with np.load(path, allow_pickle=False) as data:
+                if "epoch" in data:
+                    self._epochs_completed = int(data["epoch"])
+        except (OSError, ValueError):
+            pass
 
     @property
     def params(self):

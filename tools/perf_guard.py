@@ -151,20 +151,21 @@ def main(argv=None):
     if speedup < MIN_SPEEDUP_FUSED_VS_XLA:
         failures.append(
             f"fused speedup {speedup:.2f}x < {MIN_SPEEDUP_FUSED_VS_XLA}x")
-    if failures:
-        print("[perf_guard] REGRESSION:", "; ".join(failures),
-              file=sys.stderr)
-        return 1
-
     if args.numerics:
-        # AFTER the timing: the numerics suite's eager finite-difference
-        # loops leave the tunnel/chip in a state that inflates subsequent
-        # measurements by ~20-30% (measured)
+        # AFTER the timing (the numerics suite's eager finite-difference
+        # loops inflate subsequent same-process measurements ~25%) but
+        # BEFORE the perf verdict, so a perf regression never hides a
+        # numerics breakage
         import verify_kernels_on_tpu as vk
         vk.main()
         vk.verify_fused_layer()
         vk.verify_tiled_loss()
         print("[perf_guard] kernel numerics OK")
+
+    if failures:
+        print("[perf_guard] REGRESSION:", "; ".join(failures),
+              file=sys.stderr)
+        return 1
     print("[perf_guard] OK")
     return 0
 
