@@ -100,9 +100,18 @@ class BERT4RecEvaluator(BaseEvaluator):
         """
         key = id(model)
         if key not in self._rank_fn_cache:
+            import inspect
+            mesh = self.mesh
+            has_sc = hasattr(model, "score_candidates")
+            sc_kwargs = {}
+            if has_sc and "mesh" in inspect.signature(
+                    model.score_candidates).parameters:
+                sc_kwargs = {"mesh": mesh}
+
             def ranks(params, batch, candidates):
-                if hasattr(model, "score_candidates"):
-                    cand = model.score_candidates(params, batch, candidates)
+                if has_sc:
+                    cand = model.score_candidates(params, batch, candidates,
+                                                  **sc_kwargs)
                 else:
                     out = model.apply(params, batch)
                     cand = jnp.take_along_axis(out["mlm_logits"], candidates,
@@ -185,6 +194,8 @@ class BERT4RecEvaluator(BaseEvaluator):
         vocab_ids = jnp.asarray(np.asarray(self.sampler.vocab), jnp.int32)
         sample_size = self.sample_size
 
+        mesh = self.mesh
+
         def fused(params, batch, without_idx, base_key, counter):
             # fold inside the jit: one dispatch per batch instead of
             # extra eager RNG ops (per-op overhead is ~ms through the
@@ -193,7 +204,7 @@ class BERT4RecEvaluator(BaseEvaluator):
             return ns.ranks_with_device_negatives(
                 model, params, batch, logp=logp, vocab_ids=vocab_ids,
                 without_idx=without_idx, key=rng_key,
-                sample_size=sample_size)
+                sample_size=sample_size, mesh=mesh)
 
         if self.mesh is not None:
             out_sharding = jax.sharding.NamedSharding(

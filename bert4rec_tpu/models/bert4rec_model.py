@@ -116,12 +116,23 @@ class BERT4RecModel:
         return hidden, table
 
     def score_candidates(self, params: dict, inputs: dict,
-                         candidates: jnp.ndarray) -> jnp.ndarray:
+                         candidates: jnp.ndarray,
+                         mesh=None) -> jnp.ndarray:
         """Candidate-only MLM logits ``[B, P, C]`` — never materializes the
         ``[B, P, V]`` full-vocab logits (the eval hot path; see
-        ops/candidate_scoring.py)."""
+        ops/candidate_scoring.py).
+
+        ``mesh``: pass the mesh when the table is vocab-sharded over its
+        'model' axis — the candidate gather then runs shard-local under
+        shard_map instead of GSPMD all-gathering the full table."""
         from bert4rec_tpu.ops import candidate_scoring
         hidden, table = self._mlm_hidden_and_table(params, inputs)
+        if mesh is not None:
+            from bert4rec_tpu.core.mesh import MODEL_AXIS
+            if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+                return candidate_scoring.score_candidates_sharded(
+                    hidden, table, params["mlm"]["output_bias"], candidates,
+                    mesh)
         return candidate_scoring.score_candidates(
             hidden, table, params["mlm"]["output_bias"], candidates)
 

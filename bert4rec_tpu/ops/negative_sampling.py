@@ -73,7 +73,8 @@ def ranks_with_device_negatives(model, params, batch: dict, *,
                                 vocab_ids: jnp.ndarray,
                                 without_idx: jnp.ndarray,
                                 key: jax.Array,
-                                sample_size: int) -> jnp.ndarray:
+                                sample_size: int,
+                                mesh=None) -> jnp.ndarray:
     """Fused eval computation: sample negatives -> candidate-only scoring ->
     1-based ground-truth ranks ``[B, P]`` (jit this whole function).
 
@@ -85,7 +86,8 @@ def ranks_with_device_negatives(model, params, batch: dict, *,
     gt = batch["masked_lm_ids"][..., None]
     candidates = jnp.concatenate(
         [negatives, gt.astype(negatives.dtype)], axis=-1)
-    cand = model.score_candidates(params, batch, candidates)
+    sc_kwargs = {"mesh": mesh} if mesh is not None else {}
+    cand = model.score_candidates(params, batch, candidates, **sc_kwargs)
     gt_logit = cand[..., -1:]
     beaten = jnp.sum((cand[..., :-1] >= gt_logit).astype(jnp.int32), axis=-1)
     # invalid positions -> rank 0 (see evaluator: hosts filter > 0 on the
