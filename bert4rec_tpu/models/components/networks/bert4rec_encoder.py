@@ -72,6 +72,14 @@ class Bert4RecEncoder:
             params["temporal_embeddings"] = L.init_embedding(
                 jax.random.fold_in(keys[0], 7), cfg.temporal_buckets,
                 cfg.table_width, stddev)
+        if cfg.use_temporal_attention:
+            # beyond-parity: per-head additive attention bias over signed
+            # log2 time-delta buckets (TiSASRec-style). Zeros => enabling
+            # the flag is a no-op until trained.
+            params["temporal_attention_bias"] = {
+                "embedding": jnp.zeros(
+                    (cfg.temporal_attention_buckets, cfg.num_attention_heads),
+                    jnp.float32)}
         return params
 
     # ------------------------------------------------------------------ #
@@ -122,12 +130,23 @@ class Bert4RecEncoder:
 
         attn_bias = L.self_attention_mask(input_mask)
 
-        # whole-layer fusion: post-LN only, no query slicing, and either a
+        temporal_bias = None
+        if cfg.use_temporal_attention and "temporal_attention_bias" in params:
+            rel = self._relative_time_bias(
+                params["temporal_attention_bias"]["embedding"],
+                input_timestamps, input_mask)            # [B, n, S, S] fp32
+            attn_bias = attn_bias + rel
+            temporal_bias = rel
+        use_flash = cfg.use_flash_attention and temporal_bias is None
+
+        # whole-layer fusion: post-LN only, no query slicing, no dense
+        # attention bias (the kernel takes only the pad mask), and either a
         # real TPU or inactive dropout (interpret mode has no PRNG)
         attn_rate = cfg.attention_dropout if training else 0.0
         out_rate = cfg.output_dropout if training else 0.0
         fused_ok = (cfg.use_fused_layer and not cfg.norm_first
                     and output_range is None
+                    and temporal_bias is None
                     and cfg.inner_activation == "gelu"
                     and (jax.devices()[0].platform == "tpu"
                          or (attn_rate == 0.0 and out_rate == 0.0)))
@@ -175,7 +194,7 @@ class Bert4RecEncoder:
                     norm_first=cfg.norm_first,
                     compute_dtype=compute_dtype,
                     query_range=output_range if is_last else None,
-                    use_flash=cfg.use_flash_attention,
+                    use_flash=use_flash,
                     input_mask=input_mask)
             encoder_outputs.append(x)
 
@@ -214,6 +233,43 @@ class Bert4RecEncoder:
         bucket = jnp.floor(jnp.log2(delta + 1.0)).astype(jnp.int32)
         bucket = jnp.clip(bucket, 0, n_buckets - 1)
         return jnp.where(valid, bucket, 0)
+
+    @staticmethod
+    def _relative_time_bias(bias_table, input_timestamps, input_mask):
+        """Per-head additive attention bias ``[B, n_heads, S, S]`` from
+        signed log2-bucketized query-key time deltas (TiSASRec-style,
+        adapted: the paper's interval key/value embeddings become one
+        learned scalar per (bucket, head) — an additive score bias, which
+        keeps the attention matmuls dense and MXU-shaped).
+
+        Bucket law: delta = t_query - t_key in integer seconds (exact for
+        int32 stamps; see :meth:`_recency_buckets` on why not float);
+        magnitude = clip(floor(log2(|delta| + 1)), 0, half - 1) with
+        half = n_buckets // 2; bucket = magnitude for delta >= 0,
+        half + magnitude for delta < 0. Delta 0 -> bucket 0.
+        """
+        n_buckets, n_heads = bias_table.shape
+        b, s = input_mask.shape
+        if input_timestamps is None:
+            # no signal: every pair is bucket 0 — a per-head constant that
+            # softmax normalizes away
+            bucket = jnp.zeros((b, s, s), jnp.int32)
+        else:
+            ts = input_timestamps.astype(jnp.int32)
+            # garbage stamps at padded slots would index arbitrary buckets;
+            # the pad-mask bias (-1e9 on padded keys) makes them irrelevant,
+            # but pin them to the row's valid range anyway so the magnitude
+            # clip is meaningful
+            delta = ts[:, :, None] - ts[:, None, :]          # [B, S, S]
+            half = max(n_buckets // 2, 1)
+            mag = jnp.floor(
+                jnp.log2(jnp.abs(delta).astype(jnp.float32) + 1.0)
+            ).astype(jnp.int32)
+            mag = jnp.clip(mag, 0, half - 1)
+            bucket = jnp.where(delta >= 0, mag, half + mag)
+            bucket = jnp.clip(bucket, 0, n_buckets - 1)
+        rel = jnp.take(bias_table, bucket, axis=0)           # [B, S, S, n]
+        return rel.transpose(0, 3, 1, 2).astype(jnp.float32)
 
     @staticmethod
     def get_embedding_table(params: dict) -> jnp.ndarray:

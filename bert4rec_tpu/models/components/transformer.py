@@ -97,6 +97,11 @@ def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
     scale = 1.0 / math.sqrt(head_dim)
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if query_range is not None and attn_bias.ndim >= 3 \
+            and attn_bias.shape[-2] not in (1, scores.shape[-2]):
+        # dense [B, n, S, S] bias (e.g. temporal attention): cut the query
+        # rows to match the sliced scores
+        attn_bias = attn_bias[..., :query_range, :]
     scores = scores + attn_bias  # [B,1,1,S] broadcasts over heads & queries
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = L.dropout(rng, probs, attention_dropout, training)

@@ -72,6 +72,16 @@ class BERT4RecConfig:
     # fall back to bucket 0 (a learned "no signal" vector).
     use_temporal_embeddings: bool = False
     temporal_buckets: int = 32
+    # BEYOND-PARITY: TiSASRec-style relative time-interval attention — a
+    # learned per-head additive attention bias indexed by the signed
+    # log2-bucketized time delta between the query and key events
+    # (Li et al., WSDM 2020, adapted to the bidirectional encoder).
+    # Zero-initialized, so enabling it starts math-identical to the
+    # baseline; requires ``input_timestamps`` to carry any signal (without
+    # them every pair lands in bucket 0). Runs on the XLA attention path
+    # (the fused/flash kernels take no dense bias and fall back).
+    use_temporal_attention: bool = False
+    temporal_attention_buckets: int = 64
 
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:

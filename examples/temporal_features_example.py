@@ -66,6 +66,19 @@ def main():
     out = model.apply(params, batch)
     print("temporal model mlm_logits:", out["mlm_logits"].shape)
 
+    # and TiSASRec-style relative time-interval ATTENTION: a learned
+    # per-head bias over signed log2 time-delta buckets between every
+    # query/key event pair (zero-initialized — exact no-op until trained)
+    model_ta = BERT4RecModel(config=BERT4RecConfig(
+        vocab_size=dataloader.tokenizer.get_vocab_size(), hidden_size=32,
+        num_layers=1, num_attention_heads=4, inner_dim=64,
+        max_sequence_length=dataloader._MAX_SEQ_LENGTH,
+        max_predictions_per_seq=dataloader._MAX_PREDICTIONS_PER_SEQ,
+        use_temporal_attention=True))
+    params_ta = model_ta.init(jax.random.key(0))
+    out_ta = model_ta.apply(params_ta, batch)
+    print("temporal-attention mlm_logits:", out_ta["mlm_logits"].shape)
+
 
 if __name__ == "__main__":
     main()

@@ -276,3 +276,113 @@ class TestTemporalEmbeddings:
         assert "input_timestamps" in batch
         h = trainer.train(ds, epochs=2, batch_size=16, verbose=False)
         assert np.isfinite(h.history["loss"]).all()
+
+
+class TestTemporalAttention:
+    """Beyond-parity: TiSASRec-style relative time-interval attention bias
+    (opt-in, zero-initialized => exact no-op until trained)."""
+
+    def _cfg(self, **kw):
+        return small_config(use_temporal_attention=True, num_layers=2, **kw)
+
+    def test_zero_init_is_exact_noop(self):
+        cfg = self._cfg()
+        enc = Bert4RecEncoder(cfg)
+        params = enc.init(jax.random.key(0))
+        assert params["temporal_attention_bias"]["embedding"].shape == (64, 4)
+        assert not params["temporal_attention_bias"]["embedding"].any()
+
+        base = Bert4RecEncoder(cfg.replace(use_temporal_attention=False))
+        ids, mask = make_inputs(batch=2)
+        ts = jnp.asarray(1_700_000_000 + np.arange(2 * 21).reshape(2, 21)
+                         * 3600)
+        a = enc.apply(params, ids, mask,
+                      input_timestamps=ts)["sequence_output"]
+        b = base.apply(params, ids, mask)["sequence_output"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_nonzero_bias_uses_time_signal(self):
+        enc = Bert4RecEncoder(self._cfg())
+        params = enc.init(jax.random.key(0))
+        params["temporal_attention_bias"]["embedding"] = \
+            jnp.asarray(np.random.default_rng(0).normal(size=(64, 4))
+                        .astype(np.float32))
+        ids, mask = make_inputs(batch=2)
+        base = np.int64(1_700_000_000)
+        ts_a = jnp.full((2, 21), base) + jnp.arange(21) * 60
+        ts_b = jnp.full((2, 21), base) + jnp.arange(21) * 86400
+        out_a = enc.apply(params, ids, mask,
+                          input_timestamps=ts_a)["sequence_output"]
+        out_b = enc.apply(params, ids, mask,
+                          input_timestamps=ts_b)["sequence_output"]
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+        # no timestamps -> every pair in bucket 0, still runs
+        out_c = enc.apply(params, ids, mask)["sequence_output"]
+        assert np.isfinite(np.asarray(out_c)).all()
+
+    def test_bucket_law(self):
+        table = jnp.asarray(np.arange(64, dtype=np.float32)[:, None]
+                            * np.ones((1, 1), np.float32))
+        ts = jnp.asarray([[1000, 1001, 1004, 2000]])
+        mask = jnp.ones((1, 4), jnp.int32)
+        rel = Bert4RecEncoder._relative_time_bias(table, ts, mask)
+        got = np.asarray(rel)[0, 0]  # [S, S] bucket ids (head 0)
+        assert got[0, 0] == 0                     # delta 0
+        assert got[1, 0] == np.floor(np.log2(2))  # +1s -> bucket 1
+        assert got[0, 1] == 32 + 1                # -1s -> signed half
+        assert got[3, 0] == np.floor(np.log2(1001))
+        assert got[0, 3] == 32 + np.floor(np.log2(1001))
+        # magnitudes clip at half-1 (8 buckets => half 4, magnitude cap 3)
+        small = jnp.asarray(np.arange(8, dtype=np.float32)[:, None])
+        far = Bert4RecEncoder._relative_time_bias(
+            small, jnp.asarray([[0, 100000]]), jnp.ones((1, 2), jnp.int32))
+        assert np.asarray(far)[0, 0, 1, 0] == 3       # +1e5s clipped
+        assert np.asarray(far)[0, 0, 0, 1] == 4 + 3   # -1e5s clipped
+
+    def test_grads_flow_and_model_trains(self):
+        from bert4rec_tpu.dataloaders.processed_dataset import (
+            MaskingConfig, ProcessedDataset,
+        )
+        from bert4rec_tpu.models import BERT4RecModel
+        from bert4rec_tpu.trainers import BERT4RecTrainer
+
+        rng = np.random.default_rng(1)
+        seqs, tss = [], []
+        for _ in range(32):
+            n = int(rng.integers(4, 12))
+            seqs.append(rng.integers(3, 50, size=n).astype(np.int32))
+            tss.append(np.sort(rng.integers(1e9, 2e9, size=n)))
+        cfg = MaskingConfig(max_seq_len=12, max_predictions_per_seq=3,
+                            mask_token_id=1, pad_token_id=0, unk_token_id=2)
+        ds = ProcessedDataset(seqs, cfg, lambda: 50, timestamps=tss)
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=50, hidden_size=32, num_layers=1,
+            num_attention_heads=4, inner_dim=64, max_sequence_length=12,
+            max_predictions_per_seq=3, use_temporal_attention=True))
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        h = trainer.train(ds, epochs=2, batch_size=16, verbose=False)
+        assert np.isfinite(h.history["loss"]).all()
+        learned = np.asarray(jax.device_get(
+            trainer.state["params"]["encoder"]["temporal_attention_bias"]
+            ["embedding"]))
+        assert np.abs(learned).max() > 0  # gradients reached the bias
+
+    def test_wrapper_roundtrip(self, tmp_path):
+        from bert4rec_tpu.models import BERT4RecModel
+        from bert4rec_tpu.models.bert4rec_wrapper import BERT4RecModelWrapper
+
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=50, hidden_size=32, num_layers=1,
+            num_attention_heads=4, inner_dim=64, max_sequence_length=12,
+            max_predictions_per_seq=3, use_temporal_attention=True))
+        params = model.init(jax.random.key(0))
+        params["encoder"]["temporal_attention_bias"]["embedding"] = \
+            jnp.ones((64, 4), jnp.float32)
+        wrapper = BERT4RecModelWrapper(model, params)
+        wrapper.save(tmp_path / "m")
+        loaded, _ = BERT4RecModelWrapper.load(tmp_path / "m")
+        assert loaded.model.config.use_temporal_attention
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["encoder"]["temporal_attention_bias"]
+                       ["embedding"]), 1.0)
