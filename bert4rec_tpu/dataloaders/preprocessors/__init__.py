@@ -3,10 +3,14 @@ from bert4rec_tpu.dataloaders.preprocessors.bert4rec_preprocessor import BERT4Re
 from bert4rec_tpu.dataloaders.preprocessors.bert4rec_temporal_preprocessor import (
     BERT4RecTemporalPreprocessor,
 )
+from bert4rec_tpu.dataloaders.preprocessors.sasrec_preprocessor import (
+    SASRecPreprocessor,
+)
 
 preprocessors_map = {
     "bert4rec": BERT4RecPreprocessor,
     "bert4rec_temporal": BERT4RecTemporalPreprocessor,
+    "sasrec": SASRecPreprocessor,
 }
 
 
@@ -21,4 +25,5 @@ def get(identifier="bert4rec", **kwargs):
 
 
 __all__ = ["BasePreprocessor", "BERT4RecPreprocessor",
-           "BERT4RecTemporalPreprocessor", "preprocessors_map", "get"]
+           "BERT4RecTemporalPreprocessor", "SASRecPreprocessor",
+           "preprocessors_map", "get"]

@@ -23,6 +23,10 @@ from bert4rec_tpu.dataloaders.sequence_dataset import SequenceDataset
 
 class BERT4RecPreprocessor(BasePreprocessor):
 
+    # which ProcessedDataset task the produced datasets run ("mlm" here;
+    # the SASRec preprocessor overrides with "next_item")
+    _TASK = "mlm"
+
     def __init__(self, **kwargs):
         self.tokenizer = None
         self.max_seq_len: Optional[int] = None
@@ -102,7 +106,7 @@ class BERT4RecPreprocessor(BasePreprocessor):
             vocab_size_fn=self.tokenizer.get_vocab_size,
             apply_mlm=apply_mlm,
             finetuning=np.full(len(sequences), bool(finetuning)),
-            timestamps=timestamps)
+            timestamps=timestamps, task=self._TASK)
 
     def process_element(self, sequence, apply_mlm: bool, finetuning: bool,
                         seed: Optional[int] = None) -> dict:
@@ -116,7 +120,7 @@ class BERT4RecPreprocessor(BasePreprocessor):
             [tokens], self._masking_config(),
             vocab_size_fn=self.tokenizer.get_vocab_size,
             apply_mlm=apply_mlm,
-            finetuning=np.array([finetuning]))
+            finetuning=np.array([finetuning]), task=self._TASK)
         features = ds.materialize(seed)
         return {k: v[0] for k, v in features.items()}
 
@@ -150,5 +154,6 @@ class BERT4RecPreprocessor(BasePreprocessor):
         ds = ProcessedDataset(
             tokens, self._masking_config(),
             vocab_size_fn=self.tokenizer.get_vocab_size,
-            apply_mlm=True, finetuning=np.ones(len(tokens), bool))
+            apply_mlm=True, finetuning=np.ones(len(tokens), bool),
+            task=self._TASK)
         return ds.materialize()

@@ -52,13 +52,23 @@ class ProcessedDataset:
                  vocab_size_fn,
                  apply_mlm: bool = True,
                  finetuning: Optional[np.ndarray] = None,
-                 timestamps: Optional[List[np.ndarray]] = None):
+                 timestamps: Optional[List[np.ndarray]] = None,
+                 task: str = "mlm"):
         """
         :param vocab_size_fn: zero-arg callable returning the *current* vocab
             size (the tokenizer may still grow while extensible).
         :param finetuning: per-sequence bool array — True rows get last-token-
             only masking + tail truncation (the reference's finetuning mode).
+        :param task: ``"mlm"`` (BERT4Rec dynamic masking) or ``"next_item"``
+            (SASRec-style causal prediction: the final item is dropped from
+            the input and every remaining position predicts its successor —
+            finetuning rows predict only the held-out last item). Both emit
+            the same feature-dict contract.
         """
+        if task not in ("mlm", "next_item"):
+            raise ValueError(f"Unknown task {task!r}; "
+                             f"expected 'mlm' or 'next_item'")
+        self.task = task
         self.sequences = [np.asarray(s, dtype=np.int32) for s in sequences]
         self.config = config
         self.vocab_size_fn = vocab_size_fn
@@ -123,7 +133,8 @@ class ProcessedDataset:
               if self.timestamps is not None else None)
         return ProcessedDataset(
             [self.sequences[i] for i in idx], self.config,
-            self.vocab_size_fn, self.apply_mlm, self.finetuning[idx], ts)
+            self.vocab_size_fn, self.apply_mlm, self.finetuning[idx], ts,
+            task=self.task)
 
     def shard_for_process(self,
                           process_index: Optional[int] = None,
@@ -154,7 +165,8 @@ class ProcessedDataset:
         return ProcessedDataset(
             self.sequences + other.sequences, self.config, self.vocab_size_fn,
             self.apply_mlm,
-            np.concatenate([self.finetuning, other.finetuning]), ts)
+            np.concatenate([self.finetuning, other.finetuning]), ts,
+            task=self.task)
 
     # ------------------------------------------------------------------ #
 
@@ -213,7 +225,15 @@ class ProcessedDataset:
             "input_mask": input_mask,
         }
 
-        if self.apply_mlm:
+        if self.apply_mlm and self.task == "next_item":
+            features.update(utils.next_item_features(
+                input_ids, lengths, cfg.max_predictions_per_seq,
+                cfg.pad_token_id, finetuning=ft))
+            # the final item left the input: the mask shrinks with it
+            features["input_mask"] = (
+                np.arange(cfg.max_seq_len)[None, :]
+                < np.maximum(lengths - 1, 0)[:, None]).astype(np.int32)
+        elif self.apply_mlm:
             if _use_native():
                 int_seed = (int(seed) if seed is not None
                             else int(rng.integers(0, 2 ** 63)))

@@ -130,23 +130,29 @@ class Bert4RecEncoder:
 
         attn_bias = L.self_attention_mask(input_mask)
 
-        temporal_bias = None
+        dense_bias = False  # anything beyond the [B,1,1,S] pad mask
+        if cfg.causal_attention:
+            idx = jnp.arange(seq_len)
+            causal = jnp.where(idx[None, :] <= idx[:, None], 0.0, -1e9) \
+                .astype(jnp.float32)[None, None]         # [1, 1, S, S]
+            attn_bias = attn_bias + causal
+            dense_bias = True
         if cfg.use_temporal_attention and "temporal_attention_bias" in params:
             rel = self._relative_time_bias(
                 params["temporal_attention_bias"]["embedding"],
                 input_timestamps, input_mask)            # [B, n, S, S] fp32
             attn_bias = attn_bias + rel
-            temporal_bias = rel
-        use_flash = cfg.use_flash_attention and temporal_bias is None
+            dense_bias = True
+        use_flash = cfg.use_flash_attention and not dense_bias
 
         # whole-layer fusion: post-LN only, no query slicing, no dense
-        # attention bias (the kernel takes only the pad mask), and either a
+        # attention bias (the kernel builds only the pad mask), and either a
         # real TPU or inactive dropout (interpret mode has no PRNG)
         attn_rate = cfg.attention_dropout if training else 0.0
         out_rate = cfg.output_dropout if training else 0.0
         fused_ok = (cfg.use_fused_layer and not cfg.norm_first
                     and output_range is None
-                    and temporal_bias is None
+                    and not dense_bias
                     and cfg.inner_activation == "gelu"
                     and (jax.devices()[0].platform == "tpu"
                          or (attn_rate == 0.0 and out_rate == 0.0)))

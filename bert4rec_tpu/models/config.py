@@ -82,6 +82,11 @@ class BERT4RecConfig:
     # (the fused/flash kernels take no dense bias and fall back).
     use_temporal_attention: bool = False
     temporal_attention_buckets: int = 64
+    # BEYOND-PARITY: causal (left-to-right) self-attention — the SASRec
+    # model family's encoder mode. Position i attends only to positions
+    # <= i. Runs on the XLA attention path (the fused/flash kernels build
+    # bidirectional pad masks and fall back).
+    causal_attention: bool = False
 
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:
