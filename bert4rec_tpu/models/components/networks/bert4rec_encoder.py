@@ -130,13 +130,17 @@ class Bert4RecEncoder:
 
         attn_bias = L.self_attention_mask(input_mask)
 
-        dense_bias = False  # anything beyond the [B,1,1,S] pad mask
-        if cfg.causal_attention:
+        causal = cfg.causal_attention
+        if causal:
+            # dense triangle folded into attn_bias for the plain XLA path
+            # ONLY; the flash/fused kernels build it in VMEM (their causal
+            # flag) and never read attn_bias, so XLA dead-code-eliminates
+            # this on the kernel paths
             idx = jnp.arange(seq_len)
-            causal = jnp.where(idx[None, :] <= idx[:, None], 0.0, -1e9) \
+            tri = jnp.where(idx[None, :] <= idx[:, None], 0.0, -1e9) \
                 .astype(jnp.float32)[None, None]         # [1, 1, S, S]
-            attn_bias = attn_bias + causal
-            dense_bias = True
+            attn_bias = attn_bias + tri
+        dense_bias = False  # a bias the kernels CANNOT rebuild in VMEM
         if cfg.use_temporal_attention and "temporal_attention_bias" in params:
             rel = self._relative_time_bias(
                 params["temporal_attention_bias"]["embedding"],
@@ -146,8 +150,8 @@ class Bert4RecEncoder:
         use_flash = cfg.use_flash_attention and not dense_bias
 
         # whole-layer fusion: post-LN only, no query slicing, no dense
-        # attention bias (the kernel builds only the pad mask), and either a
-        # real TPU or inactive dropout (interpret mode has no PRNG)
+        # attention bias (the kernel builds pad + causal masks itself), and
+        # either a real TPU or inactive dropout (interpret mode has no PRNG)
         attn_rate = cfg.attention_dropout if training else 0.0
         out_rate = cfg.output_dropout if training else 0.0
         fused_ok = (cfg.use_fused_layer and not cfg.norm_first
@@ -187,7 +191,7 @@ class Bert4RecEncoder:
                     num_heads=cfg.num_attention_heads,
                     attention_dropout=a_rate,
                     output_dropout=o_rate,
-                    seed=seed)
+                    seed=seed, causal=causal)
             else:
                 x = transformer_block(
                     params["layers"][f"layer_{i}"], x, attn_bias,
@@ -201,7 +205,7 @@ class Bert4RecEncoder:
                     compute_dtype=compute_dtype,
                     query_range=output_range if is_last else None,
                     use_flash=use_flash,
-                    input_mask=input_mask)
+                    input_mask=input_mask, causal=causal)
             encoder_outputs.append(x)
 
         sequence_output = encoder_outputs[-1]

@@ -51,11 +51,16 @@ def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
                training: bool, compute_dtype,
                query_range: Optional[int] = None,
                use_flash: bool = False,
-               input_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               input_mask: Optional[jnp.ndarray] = None,
+               causal: bool = False) -> jnp.ndarray:
     """Multi-head self-attention with additive mask bias [B,1,1,S].
 
     With ``use_flash`` (and no attention dropout active, no query slicing),
     dispatches to the fused Pallas kernel (ops/flash_attention.py).
+
+    ``causal`` only affects the flash path (the kernel builds the triangle
+    in VMEM); on the XLA path the caller folds the causal bias into
+    ``attn_bias`` instead.
     """
     head_dim = params["qkv"]["kernel"].shape[-1]
     qkv_kernel = params["qkv"]["kernel"].astype(compute_dtype)
@@ -88,7 +93,8 @@ def _attention(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
         context = fused_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), input_mask,
-            dropout_rate=rate, seed=seed).transpose(0, 2, 1, 3)
+            dropout_rate=rate, seed=seed,
+            causal=causal).transpose(0, 2, 1, 3)
         out = jnp.einsum("bqnd,ndh->bqh", context.astype(compute_dtype),
                          params["output"]["kernel"].astype(compute_dtype),
                          preferred_element_type=compute_dtype)
@@ -125,7 +131,8 @@ def transformer_block(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
                       compute_dtype=jnp.float32,
                       query_range: Optional[int] = None,
                       use_flash: bool = False,
-                      input_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      input_mask: Optional[jnp.ndarray] = None,
+                      causal: bool = False) -> jnp.ndarray:
     rngs = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
 
     residual = x if query_range is None else x[:, :query_range]
@@ -134,7 +141,7 @@ def transformer_block(params: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
         params["attention"], attn_in, attn_bias, num_heads,
         rng=rngs[0], attention_dropout=attention_dropout, training=training,
         compute_dtype=compute_dtype, query_range=query_range,
-        use_flash=use_flash, input_mask=input_mask)
+        use_flash=use_flash, input_mask=input_mask, causal=causal)
     attn_out = L.dropout(rngs[1], attn_out, output_dropout, training)
     if norm_first:
         y = residual + attn_out

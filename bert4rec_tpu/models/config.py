@@ -84,8 +84,8 @@ class BERT4RecConfig:
     temporal_attention_buckets: int = 64
     # BEYOND-PARITY: causal (left-to-right) self-attention — the SASRec
     # model family's encoder mode. Position i attends only to positions
-    # <= i. Runs on the XLA attention path (the fused/flash kernels build
-    # bidirectional pad masks and fall back).
+    # <= i. Runs on the fused-layer/flash kernels (in-VMEM triangle mask)
+    # with the usual XLA fallback.
     causal_attention: bool = False
 
     def __post_init__(self):

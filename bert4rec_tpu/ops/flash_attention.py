@@ -39,7 +39,8 @@ MAX_FUSED_SEQ_LEN = 1024
 def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   mask: jnp.ndarray,
                   dropout_rate: float = 0.0,
-                  dropout_rng=None) -> jnp.ndarray:
+                  dropout_rng=None,
+                  causal: bool = False) -> jnp.ndarray:
     """Identical math in plain XLA. Dropout (if any) uses the jax PRNG —
     same distribution as the kernel, different stream."""
     d = q.shape[-1]
@@ -47,6 +48,11 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(d)
     bias = jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF)
+    if causal:
+        s = q.shape[2]
+        idx = jnp.arange(s)
+        bias = bias + jnp.where(idx[None, :] <= idx[:, None],
+                                0.0, NEG_INF)[None, None]
     probs = jax.nn.softmax(scores + bias, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
@@ -72,12 +78,18 @@ def _dropout_keep_scale(shape, rate):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _probs(q, k, mask, scale):
-    """fp32 softmax(q k^T * scale + pad bias) for one (batch, head) cell."""
+def _probs(q, k, mask, scale, causal):
+    """fp32 softmax(q k^T * scale + pad bias [+ causal bias]) for one
+    (batch, head) cell. The causal mask is a rank-2 iota compare built in
+    VMEM (Mosaic has no 1-D iota) — no dense bias ever touches HBM."""
     s_mat = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [S, S]
     s_mat = s_mat + jnp.where(mask > 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s_mat.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s_mat.shape, 1)
+        s_mat = s_mat + jnp.where(col <= row, 0.0, NEG_INF)
     m = jnp.max(s_mat, axis=-1, keepdims=True)
     p = jnp.exp(s_mat - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
@@ -90,11 +102,11 @@ def _seed_cell(seed_ref, n_heads, head):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale, dropout_rate, n_heads):
+                scale, dropout_rate, n_heads, causal):
     mask = mask_ref[pl.program_id(0)]
     for h in range(n_heads):  # static unroll; all heads share the mask load
         q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
-        p = _probs(q, k, mask, scale)
+        p = _probs(q, k, mask, scale, causal)
         if dropout_rate > 0.0:
             _seed_cell(seed_ref, n_heads, h)
             p = p * _dropout_keep_scale(p.shape, dropout_rate)
@@ -105,13 +117,14 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate, n_heads):
+                dq_ref, dk_ref, dv_ref, *, scale, dropout_rate, n_heads,
+                causal):
     mask = mask_ref[pl.program_id(0)]
     for h in range(n_heads):
         q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
         do = do_ref[0, h].astype(jnp.float32)
 
-        p = _probs(q, k, mask, scale)                         # [S, S] fp32
+        p = _probs(q, k, mask, scale, causal)                 # [S, S] fp32
         if dropout_rate > 0.0:
             _seed_cell(seed_ref, n_heads, h)
             keep = _dropout_keep_scale(p.shape, dropout_rate)
@@ -158,11 +171,12 @@ def _cell_specs(b, n, s, d):
     return qkv, mask
 
 
-def _forward(q, k, v, mask, seed, dropout_rate, interpret):
+def _forward(q, k, v, mask, seed, dropout_rate, interpret, causal):
     b, n, s, d = q.shape
     qkv_spec, mask_spec = _cell_specs(b, n, s, d)
     kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=dropout_rate, n_heads=n)
+                               dropout_rate=dropout_rate, n_heads=n,
+                               causal=causal)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -181,11 +195,12 @@ def _forward(q, k, v, mask, seed, dropout_rate, interpret):
     )(seed, q, k, v, mask)
 
 
-def _backward(q, k, v, mask, seed, do, dropout_rate, interpret):
+def _backward(q, k, v, mask, seed, do, dropout_rate, interpret, causal):
     b, n, s, d = q.shape
     qkv_spec, mask_spec = _cell_specs(b, n, s, d)
     kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=dropout_rate, n_heads=n)
+                               dropout_rate=dropout_rate, n_heads=n,
+                               causal=causal)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -208,19 +223,20 @@ def _backward(q, k, v, mask, seed, do, dropout_rate, interpret):
 # custom-vjp wrapper
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash_attention(q, k, v, mask, seed, dropout_rate, interpret):
-    return _forward(q, k, v, mask, seed, dropout_rate, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, mask, seed, dropout_rate, interpret, causal):
+    return _forward(q, k, v, mask, seed, dropout_rate, interpret, causal)
 
 
-def _flash_fwd(q, k, v, mask, seed, dropout_rate, interpret):
-    out = _forward(q, k, v, mask, seed, dropout_rate, interpret)
+def _flash_fwd(q, k, v, mask, seed, dropout_rate, interpret, causal):
+    out = _forward(q, k, v, mask, seed, dropout_rate, interpret, causal)
     return out, (q, k, v, mask, seed)
 
 
-def _flash_bwd(dropout_rate, interpret, residuals, g):
+def _flash_bwd(dropout_rate, interpret, causal, residuals, g):
     q, k, v, mask, seed = residuals
-    dq, dk, dv = _backward(q, k, v, mask, seed, g, dropout_rate, interpret)
+    dq, dk, dv = _backward(q, k, v, mask, seed, g, dropout_rate, interpret,
+                           causal)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
         None, None
 
@@ -233,13 +249,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     dropout_rate: float = 0.0,
                     seed=None,
                     use_pallas: bool = True,
-                    interpret: bool = None) -> jnp.ndarray:
+                    interpret: bool = None,
+                    causal: bool = False) -> jnp.ndarray:
     """Masked MHA ``[B, N, S, D] -> [B, N, S, D]`` with optional fused
     attention-probability dropout.
 
     :param seed: int32 scalar/array seeding the in-kernel dropout PRNG
         (required when ``dropout_rate > 0``); same seed => same mask, and
         the backward pass regenerates it exactly.
+    :param causal: left-to-right attention (SASRec family): query i sees
+        keys j <= i only; the triangle mask is built in-kernel, no dense
+        bias in HBM.
     """
     s = q.shape[2]
     if interpret is None:
@@ -250,9 +270,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # would be dropped) -> XLA reference with a jax-PRNG mask instead
         rng = (jax.random.fold_in(jax.random.key(0), jnp.asarray(seed))
                if dropout_rate > 0.0 and seed is not None else None)
-        return mha_reference(q, k, v, mask, dropout_rate, rng)
+        return mha_reference(q, k, v, mask, dropout_rate, rng, causal=causal)
     if seed is None:
         seed = 0
     seed = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     return _flash_attention(q, k, v, mask, seed, float(dropout_rate),
-                            interpret)
+                            interpret, bool(causal))

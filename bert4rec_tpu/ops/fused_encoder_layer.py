@@ -132,13 +132,23 @@ def _gelu_grad(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
 
 
+def _causal_bias(s):
+    """[S, S] lower-triangular additive bias, rank-2 iota (Mosaic has no
+    1-D iota); built in VMEM, never touches HBM."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return jnp.where(col <= row, 0.0, NEG_INF)
+
+
 def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
-                   attn_rate, seed_ref, elem, dtype):
+                   attn_rate, seed_ref, elem, dtype, causal):
     """x [S,H] -> (ctx [S,H], qkv [S,3H]); dropout applied to probs."""
     h_total = n_heads * head_dim
     qkv = _dot(x, wqkv, (((1,), (0,))))
     qkv = (qkv + bqkv).astype(dtype)                   # [S, 3H]
     bias = jnp.where(mask_row > 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        bias = bias + _causal_bias(x.shape[0])
 
     ctx_heads = []
     for h in range(n_heads):
@@ -159,14 +169,15 @@ def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
 
 def _layer_fwd_math(x, mask_row, wqkv, bqkv, wo, bo, g1, b1ln, w1, bf1,
                     w2, bf2, g2, b2ln, *, n_heads, head_dim, attn_rate,
-                    out_rate, seed_ref, elem, dtype):
+                    out_rate, seed_ref, elem, dtype, causal):
     """Shared forward math; returns all residuals needed by backward."""
     # matmul operands must share the compute dtype (params may be fp32)
     wqkv, wo = wqkv.astype(dtype), wo.astype(dtype)
     w1, w2 = w1.astype(dtype), w2.astype(dtype)
     scale = 1.0 / math.sqrt(head_dim)
     ctx, qkv = _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim,
-                              scale, attn_rate, seed_ref, elem, dtype)
+                              scale, attn_rate, seed_ref, elem, dtype,
+                              causal)
     attn = _dot(ctx, wo, (((1,), (0,)))) + bo          # [S,H] fp32
     if out_rate > 0.0:
         _site_seed(seed_ref, elem, n_heads)
@@ -197,7 +208,7 @@ def _layer_fwd_math(x, mask_row, wqkv, bqkv, wo, bo, g1, b1ln, w1, bf1,
 def _fwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
                 bo_ref, g1_ref, b1ln_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
                 g2_ref, b2ln_ref, y_ref, *, n_heads, head_dim, attn_rate,
-                out_rate, cell_b):
+                out_rate, cell_b, causal):
     # several batch elements per grid cell amortize per-cell overhead
     for cb in range(cell_b):
         elem = pl.program_id(0) * cell_b + cb
@@ -208,7 +219,8 @@ def _fwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
             g1_ref[0], b1ln_ref[0], w1_ref[:], bf1_ref[0],
             w2_ref[:], bf2_ref[0], g2_ref[0], b2ln_ref[0],
             n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
-            out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=x.dtype)
+            out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=x.dtype,
+            causal=causal)
         y_ref[cb] = res["y"].astype(y_ref.dtype)
 
 
@@ -218,7 +230,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg1_ref,
                 db1ln_ref, dw1_ref, dbf1_ref, dw2_ref, dbf2_ref, dg2_ref,
                 db2ln_ref, *, n_heads, head_dim, attn_rate, out_rate,
-                cell_b):
+                cell_b, causal):
     dtype = x_ref.dtype
     wqkv = wqkv_ref[:].astype(dtype)
     wo = wo_ref[:].astype(dtype)
@@ -251,7 +263,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
             dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
             dg1_ref, db1ln_ref, dw1_ref, dbf1_ref, dw2_ref, dbf2_ref,
             dg2_ref, db2ln_ref, n_heads=n_heads, head_dim=head_dim,
-            attn_rate=attn_rate, out_rate=out_rate)
+            attn_rate=attn_rate, out_rate=out_rate, causal=causal)
 
 
 def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
@@ -259,7 +271,7 @@ def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
                  b2ln_ref, dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
                  dbo_ref, dg1_ref, db1ln_ref, dw1_ref, dbf1_ref, dw2_ref,
                  dbf2_ref, dg2_ref, db2ln_ref, *, n_heads, head_dim,
-                 attn_rate, out_rate):
+                 attn_rate, out_rate, causal):
     x = x_ref[cb]
     mask_row = mask_ref[elem]
 
@@ -267,7 +279,8 @@ def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
         x, mask_row, wqkv, bqkv_ref[0], wo, bo_ref[0], g1, b1ln_ref[0],
         w1, bf1_ref[0], w2, bf2_ref[0], g2, b2ln_ref[0],
         n_heads=n_heads, head_dim=head_dim, attn_rate=attn_rate,
-        out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=dtype)
+        out_rate=out_rate, seed_ref=seed_ref, elem=elem, dtype=dtype,
+        causal=causal)
 
     dy = dy_ref[cb].astype(jnp.float32)
 
@@ -303,6 +316,8 @@ def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
     h_total = n_heads * head_dim
     qkv = res["qkv"]
     bias = jnp.where(mask_row > 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        bias = bias + _causal_bias(x.shape[0])
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(n_heads):
         q = qkv[:, h * head_dim:(h + 1) * head_dim]
@@ -399,13 +414,14 @@ _W_ORDER = ("wqkv", "bqkv", "wo", "bo", "g1", "b1ln", "w1", "bf1",
 
 
 def _run_forward(x, mask, flat, seed, n_heads, attn_rate, out_rate,
-                 interpret):
+                 interpret, causal):
     b, s, h = x.shape
     f = flat["w1"].shape[1]
     cell_b = _cell_b_for(b)
     kernel = functools.partial(
         _fwd_kernel, n_heads=n_heads, head_dim=h // n_heads,
-        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b)
+        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b,
+        causal=causal)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(b // cell_b,),
         in_specs=_weight_specs(b, s, h, f, 3 * h, cell_b),
@@ -419,13 +435,14 @@ def _run_forward(x, mask, flat, seed, n_heads, attn_rate, out_rate,
 
 
 def _run_backward(x, mask, flat, seed, dy, n_heads, attn_rate, out_rate,
-                  interpret):
+                  interpret, causal):
     b, s, h = x.shape
     f = flat["w1"].shape[1]
     cell_b = _cell_b_for(b)
     kernel = functools.partial(
         _bwd_kernel, n_heads=n_heads, head_dim=h // n_heads,
-        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b)
+        attn_rate=attn_rate, out_rate=out_rate, cell_b=cell_b,
+        causal=causal)
     in_specs = _weight_specs(b, s, h, f, 3 * h, cell_b) + [
         pl.BlockSpec((cell_b, s, h), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM)]               # dy
@@ -445,26 +462,27 @@ def _run_backward(x, mask, flat, seed, dy, n_heads, attn_rate, out_rate,
     )(seed, x, mask, *[flat[k] for k in _W_ORDER], dy)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _fused_layer(x, mask, flat_tuple, seed, n_heads, attn_rate, out_rate,
-                 interpret):
+                 interpret, causal):
     flat = dict(zip(_W_ORDER, flat_tuple))
     return _run_forward(x, mask, flat, seed, n_heads, attn_rate, out_rate,
-                        interpret)
+                        interpret, causal)
 
 
 def _fused_fwd(x, mask, flat_tuple, seed, n_heads, attn_rate, out_rate,
-               interpret):
+               interpret, causal):
     out = _fused_layer(x, mask, flat_tuple, seed, n_heads, attn_rate,
-                       out_rate, interpret)
+                       out_rate, interpret, causal)
     return out, (x, mask, flat_tuple, seed)
 
 
-def _fused_bwd(n_heads, attn_rate, out_rate, interpret, residuals, g):
+def _fused_bwd(n_heads, attn_rate, out_rate, interpret, causal, residuals,
+               g):
     x, mask, flat_tuple, seed = residuals
     flat = dict(zip(_W_ORDER, flat_tuple))
     outs = _run_backward(x, mask, flat, seed, g, n_heads, attn_rate,
-                         out_rate, interpret)
+                         out_rate, interpret, causal)
     dx = outs[0]
     dflat = tuple(d.astype(w.dtype)
                   for d, w in zip(outs[1:], flat_tuple))
@@ -480,12 +498,15 @@ def fused_encoder_layer(params: dict, x: jnp.ndarray,
                         attention_dropout: float = 0.0,
                         output_dropout: float = 0.0,
                         seed=None,
-                        interpret: bool = None) -> jnp.ndarray:
+                        interpret: bool = None,
+                        causal: bool = False) -> jnp.ndarray:
     """Run one post-LN encoder layer fused in VMEM.
 
     :param params: the layer-param dict from
         transformer.init_transformer_block
     :param x: ``[B, S, H]``; ``input_mask``: ``[B, S]``
+    :param causal: left-to-right attention (SASRec family); the triangle
+        mask is an in-kernel iota compare, no dense bias in HBM.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -501,4 +522,4 @@ def fused_encoder_layer(params: dict, x: jnp.ndarray,
     flat_tuple = tuple(flat[k] for k in _W_ORDER)
     return _fused_layer(x, input_mask, flat_tuple, seed, num_heads,
                         float(attention_dropout), float(output_dropout),
-                        interpret)
+                        interpret, bool(causal))

@@ -211,6 +211,37 @@ class TestSASRecModel:
                            )["sequence_output"]
         assert np.abs(np.asarray(out1[:, :10] - out2[:, :10])).max() > 1e-3
 
+    @pytest.mark.parametrize("kernel_cfg,tol", [
+        (dict(use_flash_attention=True), dict(rtol=2e-4, atol=2e-4)),
+        # fused layer uses tanh-approximate gelu -> small systematic diff
+        (dict(use_fused_layer=True), dict(rtol=2e-2, atol=5e-3)),
+    ])
+    def test_causal_kernel_paths_match_xla(self, kernel_cfg, tol):
+        """The flash/fused kernels build the causal triangle in VMEM; their
+        output must match the plain XLA attention path (interpret mode on
+        CPU)."""
+        plain = causal_model()
+        fast = SASRecModel(config=plain.config.replace(**kernel_cfg))
+        params = plain.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        ids = rng.integers(3, VOCAB, size=(2, SEQ)).astype(np.int32)
+        lengths = np.array([SEQ, SEQ - 5])
+        batch = {"input_word_ids": ids,
+                 "input_mask": (np.arange(SEQ)[None, :]
+                                < lengths[:, None]).astype(np.int32)}
+        out_ref = plain.apply(params, batch)["sequence_output"]
+        out_fast = fast.apply(params, batch)["sequence_output"]
+        np.testing.assert_allclose(np.asarray(out_fast),
+                                   np.asarray(out_ref), **tol)
+        # and the fast path is still causal: future-token independence
+        ids2 = ids.copy()
+        ids2[:, 10:] = (ids2[:, 10:] + 7 - 3) % 40 + 3
+        out_fast2 = fast.apply(params, {**batch, "input_word_ids": ids2}
+                               )["sequence_output"]
+        np.testing.assert_allclose(np.asarray(out_fast[:, :10]),
+                                   np.asarray(out_fast2[:, :10]),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_causal_flag_roundtrips_through_wrapper(self, tmp_path):
         from bert4rec_tpu.models import BERT4RecModelWrapper
         model = causal_model()

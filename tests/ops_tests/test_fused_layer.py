@@ -26,10 +26,15 @@ def setup(seed=0):
     return params, x, mask
 
 
-def unfused(params, x, mask, dtype=jnp.float32):
+def unfused(params, x, mask, dtype=jnp.float32, causal=False):
     # the kernel uses tanh-approximate gelu (no erf lowering in Mosaic);
     # compare against the same activation for tight tolerances
     attn_bias = L.self_attention_mask(mask)
+    if causal:
+        s = x.shape[1]
+        idx = jnp.arange(s)
+        attn_bias = attn_bias + jnp.where(
+            idx[None, :] <= idx[:, None], 0.0, -1e9)[None, None]
     return transformer_block(
         params, x, attn_bias, num_heads=N,
         inner_activation=L.get_activation("gelu_approx"),
@@ -57,6 +62,18 @@ class TestFusedLayerForward:
             np.asarray(out, dtype=np.float32),
             np.asarray(ref, dtype=np.float32), rtol=8e-2, atol=8e-2)
 
+    def test_causal_matches_unfused(self):
+        params, x, mask = setup()
+        ref = unfused(params, x, mask, causal=True)
+        out = fused_encoder_layer(params, x, mask, num_heads=N,
+                                  interpret=True, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # triangle actually applied
+        bidir = fused_encoder_layer(params, x, mask, num_heads=N,
+                                    interpret=True)
+        assert np.abs(np.asarray(out) - np.asarray(bidir)).max() > 1e-3
+
     def test_interpret_dropout_raises(self):
         params, x, mask = setup()
         with pytest.raises(ValueError):
@@ -82,6 +99,24 @@ class TestFusedLayerBackward:
 
         def loss_ref(x):
             return jnp.sum(unfused(params, x, mask) * proj)
+
+        g_fused = jax.grad(loss_fused)(x)
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_causal_grads_match_unfused(self):
+        params, x, mask = setup()
+        proj = jnp.asarray(np.random.default_rng(7)
+                           .normal(size=(B, S, H)).astype(np.float32))
+
+        def loss_fused(x):
+            return jnp.sum(fused_encoder_layer(
+                params, x, mask, num_heads=N, interpret=True,
+                causal=True) * proj)
+
+        def loss_ref(x):
+            return jnp.sum(unfused(params, x, mask, causal=True) * proj)
 
         g_fused = jax.grad(loss_fused)(x)
         g_ref = jax.grad(loss_ref)(x)

@@ -55,6 +55,43 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_causal_matches_reference(self):
+        q, k, v, mask = make_qkv()
+        out = flash_attention(q, k, v, mask, interpret=True, causal=True)
+        ref = mha_reference(q, k, v, mask, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # the triangle matters: causal != bidirectional on this input
+        bidir = mha_reference(q, k, v, mask)
+        assert np.abs(np.asarray(ref) - np.asarray(bidir)).max() > 1e-3
+
+    def test_causal_future_independence(self):
+        """Row i of the kernel output must not see keys/values at j > i."""
+        q, k, v, mask = make_qkv()
+        out1 = flash_attention(q, k, v, mask, interpret=True, causal=True)
+        k2 = k.at[:, :, 12:].add(3.0)
+        v2 = v.at[:, :, 12:].add(3.0)
+        out2 = flash_attention(q, k2, v2, mask, interpret=True, causal=True)
+        np.testing.assert_allclose(np.asarray(out1[:, :, :12]),
+                                   np.asarray(out2[:, :, :12]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_causal_gradient_matches_reference(self):
+        q, k, v, mask = make_qkv()
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, mask, interpret=True,
+                                           causal=True))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, mask, causal=True))
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_dropout_deterministic_per_seed(self):
         q, k, v, mask = make_qkv()
         a = flash_attention(q, k, v, mask, dropout_rate=0.3, seed=7,

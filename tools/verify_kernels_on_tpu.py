@@ -109,6 +109,34 @@ def main():
     print(f"dQ analytic {an_q:.5f} fd {fd_q:.5f}")
     assert abs(an_q - fd_q) < max(6e-2, 0.15 * abs(fd_q)), (an_q, fd_q)
 
+    # 5. causal (SASRec) path: Mosaic lowering of the in-kernel iota
+    # triangle — fwd + grads vs the XLA reference
+    out_c = flash_attention(q, k, v, mask, interpret=False, causal=True)
+    ref_c = mha_reference(q, k, v, mask, causal=True)
+    err_c = np.abs(np.asarray(out_c) - np.asarray(ref_c)).max()
+    print("causal fwd max err (rate=0):", err_c)
+    assert err_c < 5e-3
+    assert np.abs(np.asarray(ref_c) - np.asarray(ref)).max() > 1e-3
+    # the flag must reach the hardware kernel, not just the reference
+    kernel_delta = np.abs(np.asarray(out_c) - np.asarray(out)).max()
+    print("causal vs bidir kernel output delta:", kernel_delta)
+    assert kernel_delta > 1e-3
+
+    def loss_pl_c(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, interpret=False,
+                                       causal=True) ** 2)
+
+    def loss_ref_c(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, mask, causal=True) ** 2)
+
+    g_pl_c = jax.grad(loss_pl_c, argnums=(0, 1, 2))(q, k, v)
+    g_ref_c = jax.grad(loss_ref_c, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_pl_c, g_ref_c):
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        print(f"causal grad d{name} rel err: {rel:.3e}")
+        assert rel < 2e-2, (name, rel)
+
     print("ALL TPU KERNEL CHECKS PASSED")
 
 
@@ -141,6 +169,21 @@ def verify_fused_layer():
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     print("fused layer fwd max err (rate=0):", err)
     assert err < 2e-2, err  # bf16-pass fp32 MXU across 6 chained matmuls
+
+    # causal (SASRec) triangle lowering
+    idx_s = jnp.arange(S)
+    tri = jnp.where(idx_s[None, :] <= idx_s[:, None], 0.0, -1e9)[None, None]
+    ref_c = transformer_block(
+        params, x, L.self_attention_mask(mask) + tri, num_heads=N,
+        inner_activation=L.get_activation("gelu_approx"),
+        output_dropout=0.0, attention_dropout=0.0, training=False,
+        norm_first=False, compute_dtype=jnp.float32)
+    out_c = fused_encoder_layer(params, x, mask, num_heads=N,
+                                interpret=False, causal=True)
+    err_c = np.abs(np.asarray(out_c) - np.asarray(ref_c)).max()
+    print("fused layer causal fwd max err (rate=0):", err_c)
+    assert err_c < 2e-2, err_c
+    assert np.abs(np.asarray(ref_c) - np.asarray(ref)).max() > 1e-3
 
     # dropout determinism + unbiasedness on hardware
     a = fused_encoder_layer(params, x, mask, num_heads=N,
