@@ -35,6 +35,9 @@ BUDGET_MS = {
     "fused_layer": 12.5,
     "fused_multi4": 8.8,
     "ml20m_tiled": 24.0,
+    # SASRec: same dims + causal_attention (in-VMEM triangle in the fused
+    # kernels) — must stay within noise of the bidirectional fused_multi4
+    "sasrec_multi4": 8.8,
 }
 MIN_SPEEDUP_FUSED_VS_XLA = 1.5
 
@@ -77,6 +80,10 @@ def main(argv=None):
         "fused_layer": build_trainer(True, False),
         "fused_full": build_trainer(True, True),
         "fused_multi4": build_trainer(True, True, steps_per_call=4),
+        "sasrec_multi4": bench.build(
+            dict(use_fused_layer=True, use_fused_loss=True,
+                 causal_attention=True),
+            steps_per_call=4),
         # ML-20M scale: 26.7k vocab routes through the vocab-tiled
         # flash-softmax loss (ml-20m_256 encoder dims)
         "ml20m_tiled": bench.build(
