@@ -35,18 +35,39 @@ from bert4rec_tpu.utils.prefetch import prefetch
 class BERT4RecTrainer(BaseTrainer):
 
     def __init__(self, model, mesh: Optional["jax.sharding.Mesh"] = None,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, grad_accum_steps: int = 1):
         """``steps_per_call``: train steps executed per device dispatch via
         ``lax.scan`` over a stacked ``[K, B, ...]`` super-batch — amortizes
         per-step dispatch/host overhead when the step itself is short
-        (identical math; logs are aggregated over the K steps)."""
+        (identical math; logs are aggregated over the K steps).
+
+        ``grad_accum_steps``: microbatches accumulated per optimizer update
+        (``lax.scan`` over a stacked ``[A, B, ...]`` super-batch holding ONE
+        microbatch of activations live at a time) — trains with an effective
+        batch of ``A * batch_size`` at the device memory of ``batch_size``.
+        Gradients are combined weighted by each microbatch's count of valid
+        MLM positions, so the update equals the one a single
+        ``A * batch_size`` batch would produce (the masked losses are
+        valid-position-weighted means). Trailing batches that don't fill a
+        group of ``A`` are dropped, keeping every update at the same
+        effective batch. Mutually exclusive with ``steps_per_call``."""
         super().__init__(model)
         self.mesh = mesh
         self.steps_per_call = max(1, int(steps_per_call))
+        self.grad_accum_steps = max(1, int(grad_accum_steps))
+        if self.steps_per_call > 1 and self.grad_accum_steps > 1:
+            raise ValueError(
+                "steps_per_call and grad_accum_steps are mutually exclusive "
+                "dispatch modes: the first stacks K optimizer steps per "
+                "device call, the second folds A microbatches into one "
+                "optimizer step — pick one "
+                f"(got steps_per_call={self.steps_per_call}, "
+                f"grad_accum_steps={self.grad_accum_steps})")
         self.state = None          # {"params", "opt_state", "step", "rng"}
         self._epochs_completed = None
         self._train_step_fn = None
         self._train_multi_fn = None
+        self._train_accum_fn = None
         self._eval_step_fn = None
 
     # ------------------------------------------------------------------ #
@@ -165,8 +186,56 @@ class BERT4RecTrainer(BaseTrainer):
             logs come back stacked [K]."""
             return jax.lax.scan(train_step, state, stacked)
 
+        def accum_step(state, stacked):
+            """One optimizer update from A accumulated microbatch gradients
+            (leaves [A, B, ...]); logs come back stacked [A].
+
+            Per-microbatch losses are means over that microbatch's valid MLM
+            positions, so the full-batch gradient is the n_valid-weighted
+            mean of the microbatch gradients: sum(w_a * g_a) / sum(w_a).
+            n_valid depends only on the data, never on params, so the weights
+            are constants of the accumulation."""
+            params = state["params"]
+            step_rng = jax.random.fold_in(
+                jax.random.wrap_key_data(state["rng"]), state["step"])
+            n_micro = jax.tree.leaves(stacked)[0].shape[0]
+
+            def micro(carry, inp):
+                gsum, wsum = carry
+                idx, batch = inp
+                rng = jax.random.fold_in(step_rng, idx)
+
+                def compute_loss(p):
+                    return loss_and_logs(p, batch, True, rng)
+
+                (loss, logs), grads = jax.value_and_grad(
+                    compute_loss, has_aux=True)(params)
+                w = trainer_utils.n_valid_positions(batch["masked_lm_ids"])
+                gsum = jax.tree.map(lambda a, g: a + w * g, gsum, grads)
+                logs = {"loss": loss, **logs, "_n_valid": w,
+                        "_n_total": jnp.float32(
+                            batch["masked_lm_ids"].size)}
+                return (gsum, wsum + w), logs
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (gsum, wsum), logs = jax.lax.scan(
+                micro, (zeros, jnp.float32(0.0)),
+                (jnp.arange(n_micro), stacked))
+            grads = jax.tree.map(
+                lambda g: g / jnp.maximum(wsum, 1.0), gsum)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], params)
+            new_state = {
+                "params": optax.apply_updates(params, updates),
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+                "rng": state["rng"],
+            }
+            return new_state, logs
+
         self._train_step_fn = jax.jit(train_step, donate_argnums=0)
         self._train_multi_fn = jax.jit(multi_step, donate_argnums=0)
+        self._train_accum_fn = jax.jit(accum_step, donate_argnums=0)
         self._eval_step_fn = jax.jit(eval_step)
 
     def _put_batch(self, batch: dict, stacked: bool = False) -> dict:
@@ -277,10 +346,15 @@ class BERT4RecTrainer(BaseTrainer):
                 # the profiler brackets individual global steps; run this
                 # training call single-step so the trace actually captures
                 k_call = 1
+            # both dispatch modes consume the raw stream in groups: K
+            # optimizer steps per call (multi-step) or A microbatches per
+            # optimizer step (gradient accumulation)
+            accum = self.grad_accum_steps > 1
+            group_k = self.grad_accum_steps if accum else k_call
             raw = train_ds.batches(batch_size, shuffle=True,
                                    seed=seed + epoch, drop_remainder=True)
-            if k_call > 1:
-                def grouped(it=raw, k=k_call):
+            if group_k > 1:
+                def grouped(it=raw, k=group_k):
                     buf = []
                     for b in it:
                         buf.append(b)
@@ -291,12 +365,16 @@ class BERT4RecTrainer(BaseTrainer):
                         yield buf
 
                 def put(bufs):
-                    # full groups become one stacked [K, B, ...] dispatch;
-                    # the epoch tail falls back to single steps
-                    if len(bufs) == k_call:
+                    # full groups become one stacked [K|A, B, ...] dispatch;
+                    # the epoch tail falls back to single steps (multi-step)
+                    # or is dropped (accumulation — a partial group would
+                    # change the effective batch of its update)
+                    if len(bufs) == group_k:
                         return self._put_batch(
                             {key: np.stack([b[key] for b in bufs])
                              for key in bufs[0]}, stacked=True)
+                    if accum:
+                        return None
                     return [self._put_batch(b) for b in bufs]
 
                 batch_iter = prefetch(grouped(), put, depth=2)
@@ -323,9 +401,26 @@ class BERT4RecTrainer(BaseTrainer):
 
             stop_epoch = False
             for item in batch_iter:
-                if isinstance(item, dict) and k_call > 1:
+                if item is None:       # dropped partial accumulation group
+                    continue
+                if isinstance(item, dict) and group_k > 1:
                     first = next(iter(item.values()))
                     n_examples += first.shape[0] * first.shape[1]
+                    if accum:
+                        if profile_dir is not None:
+                            # one accum call == one global step
+                            if global_step == 1 and not profiling:
+                                jax.profiler.start_trace(str(profile_dir))
+                                profiling = True
+                            elif (profiling
+                                  and global_step == 1 + profile_steps):
+                                jax.profiler.stop_trace()
+                                profiling = False
+                        self.state, logs = self._train_accum_fn(
+                            self.state, item)
+                        if accumulate(logs, 1):
+                            break
+                        continue
                     self.state, logs = self._train_multi_fn(self.state, item)
                     if accumulate(logs, k_call):
                         break

@@ -334,6 +334,74 @@ class TestMultiStepDispatch:
         assert int(trainer.state["step"]) == 4
 
 
+class TestGradAccumulation:
+    """grad_accum_steps=A folds A microbatches into ONE optimizer update;
+    the update must equal the one a single A*batch_size batch produces
+    (n_valid-weighted gradient recombination — microbatches have unequal
+    valid-position counts here)."""
+
+    @staticmethod
+    def _make_model(dropout=0.0):
+        cfg = BERT4RecConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                             num_attention_heads=4, inner_dim=64,
+                             max_sequence_length=16,
+                             max_predictions_per_seq=4,
+                             output_dropout=dropout,
+                             attention_dropout=dropout)
+        return BERT4RecModel(config=cfg)
+
+    def test_equals_big_batch(self):
+        # SGD so the parameter delta is linear in the gradient (adam's
+        # g/sqrt(v) normalization would amplify fp-reassociation noise on
+        # near-zero gradients into O(lr) sign flips)
+        def run(batch_size, accum):
+            trainer = BERT4RecTrainer(self._make_model(),
+                                      grad_accum_steps=accum)
+            trainer.initialize_model(optimizer=optax.sgd(0.1),
+                                     rng=jax.random.key(0))
+            ds = make_dataset(n=32)
+            h = trainer.train(ds, epochs=1, batch_size=batch_size,
+                              verbose=False, seed=7)
+            return trainer, h
+
+        big, h_big = run(32, 1)      # one 32-example step
+        acc, h_acc = run(8, 4)       # 4 microbatches of 8, one update
+        assert int(big.state["step"]) == int(acc.state["step"]) == 1
+        np.testing.assert_allclose(h_big.history["loss"],
+                                   h_acc.history["loss"], rtol=1e-5)
+        np.testing.assert_allclose(h_big.history["masked_accuracy"],
+                                   h_acc.history["masked_accuracy"],
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(big.state["params"]),
+                        jax.tree.leaves(acc.state["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_partial_tail_group_dropped(self):
+        trainer = BERT4RecTrainer(self._make_model(), grad_accum_steps=2)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=56)  # 3 full batches of 16 -> 1 group + tail 1
+        trainer.train(ds, epochs=1, batch_size=16, verbose=False)
+        assert int(trainer.state["step"]) == 1
+
+    def test_exclusive_with_multi_step(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            BERT4RecTrainer(self._make_model(), steps_per_call=4,
+                            grad_accum_steps=4)
+
+    def test_on_mesh(self):
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        mesh = create_mesh(MeshConfig(model_parallelism=2))
+        trainer = BERT4RecTrainer(self._make_model(dropout=0.1), mesh=mesh,
+                                  grad_accum_steps=2)
+        trainer.initialize_model(rng=jax.random.key(0))
+        ds = make_dataset(n=64)
+        h = trainer.train(ds, epochs=2, batch_size=16, verbose=False)
+        assert np.isfinite(h.history["loss"]).all()
+        # 4 batches/epoch -> 2 updates/epoch
+        assert int(trainer.state["step"]) == 4
+
+
 class TestMeshBatchValidation:
 
     def test_indivisible_batch_raises_clearly(self):
