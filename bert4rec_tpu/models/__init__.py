@@ -6,9 +6,10 @@ from bert4rec_tpu.models.bert4rec_model import BERT4RecModel, SPECIAL_TOKEN_IDS
 from bert4rec_tpu.models.sasrec_model import SASRecModel
 from bert4rec_tpu.models.model_wrapper import ModelWrapper
 from bert4rec_tpu.models.bert4rec_wrapper import BERT4RecModelWrapper
-from bert4rec_tpu.models import model_utils
+from bert4rec_tpu.models import export, model_utils
 
 __all__ = [
+    "export",
     "BERT4RecConfig",
     "Bert4RecEncoder",
     "BERT4RecModel",

@@ -1,0 +1,94 @@
+"""AOT serving export (models/export.py): artifacts must reproduce the
+live model's outputs after a serialize->file->deserialize roundtrip, and a
+symbolic-batch artifact must serve multiple batch sizes."""
+
+import jax
+import numpy as np
+import pytest
+
+from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel, export
+
+VOCAB = 50
+S, P, K, C = 12, 3, 5, 7
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = BERT4RecConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                         num_attention_heads=4, inner_dim=64,
+                         max_sequence_length=S, max_predictions_per_seq=P)
+    model = BERT4RecModel(config=cfg)
+    params = model.init(jax.random.key(0))
+    return model, params
+
+
+def make_inputs(b, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(3, VOCAB, size=(b, S)).astype(np.int32)
+    mask = np.ones((b, S), np.int32)
+    mask[:, S - 2:] = 0
+    pos = np.tile(np.arange(P, dtype=np.int32), (b, 1))
+    return ids, mask, pos
+
+
+class TestTopKExport:
+
+    def test_roundtrip_matches_model(self, model_and_params, tmp_path):
+        model, params = model_and_params
+        art = export.export_top_k(model, params, K)
+        path = tmp_path / "top_k.jaxexport"
+        export.save_artifact(art, path)
+        served = export.load_artifact(path)
+
+        for b in (2, 5):  # symbolic batch: one artifact, several sizes
+            ids, mask, pos = make_inputs(b, seed=b)
+            got_ids, got_scores = served.call(ids, mask, pos)
+            inputs = {"input_word_ids": ids, "input_mask": mask,
+                      "masked_lm_positions": pos}
+            want_ids, want_scores = model.rank_top_k(params, inputs, K)
+            np.testing.assert_array_equal(np.asarray(got_ids),
+                                          np.asarray(want_ids))
+            np.testing.assert_allclose(np.asarray(got_scores),
+                                       np.asarray(want_scores), rtol=1e-5)
+            assert np.asarray(got_ids).shape == (b, P, K)
+
+    def test_concrete_batch_rejects_other_sizes(self, model_and_params):
+        model, params = model_and_params
+        art = export.export_top_k(model, params, K, batch_size=2)
+        ids, mask, pos = make_inputs(3)
+        with pytest.raises(ValueError):
+            art.call(ids, mask, pos)
+
+    def test_weights_are_embedded(self, model_and_params, tmp_path):
+        """The artifact is self-contained: its file is at least as large as
+        the embedded table, and calling needs no params."""
+        model, params = model_and_params
+        path = tmp_path / "a.jaxexport"
+        export.save_artifact(export.export_top_k(model, params, K), path)
+        table_bytes = np.asarray(
+            params["encoder"]["item_embeddings"]["embedding"]).nbytes
+        assert path.stat().st_size > table_bytes
+
+
+class TestScoreCandidatesExport:
+
+    def test_roundtrip_matches_model(self, model_and_params, tmp_path):
+        model, params = model_and_params
+        art = export.export_score_candidates(model, params, C)
+        path = tmp_path / "scores.jaxexport"
+        export.save_artifact(art, path)
+        served = export.load_artifact(path)
+
+        b = 4
+        ids, mask, pos = make_inputs(b, seed=9)
+        cands = np.random.default_rng(1).integers(
+            3, VOCAB, size=(b, P, C)).astype(np.int32)
+        got = np.asarray(served.call(ids, mask, pos, cands))
+        inputs = {"input_word_ids": ids, "input_mask": mask,
+                  "masked_lm_positions": pos}
+        # jit the live side too: the artifact is a jitted lowering, and XLA
+        # fusion reassociates float math vs the eager op-by-op path
+        want = np.asarray(jax.jit(model.score_candidates)(
+            params, inputs, cands))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert got.shape == (b, P, C)
