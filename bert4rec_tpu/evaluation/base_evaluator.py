@@ -18,6 +18,9 @@ class BaseEvaluator(abc.ABC):
                  sampler_config: Optional[dict] = None):
         self._metrics = metrics
         self.dataloader = dataloader
+        if sampler is None:  # sampler-free protocols (full-vocab ranking)
+            self.sampler = None
+            return
         self.sampler = samplers_lib.get(sampler, **(sampler_config or {}))
         if not self.sampler.is_fully_prepared():
             warnings.warn(

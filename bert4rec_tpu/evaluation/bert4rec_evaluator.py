@@ -45,7 +45,8 @@ class BERT4RecEvaluator(BaseEvaluator):
                  seed: Optional[int] = None,
                  mesh=None,
                  device_negatives: Optional[bool] = None,
-                 static_shapes: Optional[bool] = None):
+                 static_shapes: Optional[bool] = None,
+                 full_ranking: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches and candidate
         tensors are sharded over its 'data' axis so the scoring forward runs
         data-parallel across chips (rank reduction stays on host).
@@ -59,12 +60,21 @@ class BERT4RecEvaluator(BaseEvaluator):
 
         ``static_shapes``: use data-independent tensor shapes (no P-slicing,
         fixed exclusion width). Auto-enabled for multi-host runs, where every
-        process must assemble identically-shaped global arrays."""
+        process must assemble identically-shaped global arrays.
+
+        ``full_ranking``: rank each ground truth against the ENTIRE catalog
+        instead of 100 sampled negatives — the unbiased protocol (sampled
+        metrics are biased estimators; Krichene & Rendle, KDD 2020). No
+        sampler is built or used; the exclusion semantics match the sampled
+        path (the row's other interactions never compete). Metric names are
+        unchanged, so results are directly comparable files."""
         sampler_config = {"sample_size": sample_size}
         if seed is not None:
             sampler_config["seed"] = seed
         super().__init__(metrics if metrics is not None else default_metrics(),
-                         sampler, dataloader, sampler_config)
+                         None if full_ranking else sampler,
+                         dataloader, sampler_config)
+        self.full_ranking = full_ranking
         self.sample_size = sample_size
         self.seed = seed
         self.mesh = mesh
@@ -72,6 +82,7 @@ class BERT4RecEvaluator(BaseEvaluator):
         self.static_shapes = static_shapes
         self._rank_fn_cache = {}
         self._fused_fn_cache = {}
+        self._full_fn_cache = {}
         self._batch_counter = 0
 
     # ------------------------------------------------------------------ #
@@ -79,6 +90,8 @@ class BERT4RecEvaluator(BaseEvaluator):
     def _prepare_sampler(self):
         """Auto-build source/vocab from the dataloader
         (reference bert4rec_evaluator.py:26-44)."""
+        if self.sampler is None:  # full-ranking protocol: sampler-free
+            return
         if self.sampler.is_fully_prepared():
             return
         if self.dataloader is None:
@@ -262,6 +275,51 @@ class BERT4RecEvaluator(BaseEvaluator):
         return ranks[ranks > 0]  # global batch in multi-host runs
 
     # ------------------------------------------------------------------ #
+    # full-vocab (unsampled) ranking
+    # ------------------------------------------------------------------ #
+
+    def _full_rank_fn(self, model):
+        """One jitted computation: forward -> count catalog items tying or
+        beating the ground truth (``model.gt_ranks_full_vocab``)."""
+        key = id(model)
+        cached = self._full_fn_cache.get(key)
+        if cached is not None:
+            return cached
+
+        def ranks(params, batch, exclude):
+            r = model.gt_ranks_full_vocab(params, batch, exclude=exclude)
+            # invalid positions -> 0, same host-filter contract as _rank_fn
+            return jnp.where(batch["masked_lm_weights"] > 0, r, 0)
+
+        if self.mesh is not None:
+            out_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            fn = jax.jit(ranks, out_shardings=out_sharding)
+        else:
+            fn = jax.jit(ranks)
+        self._full_fn_cache[key] = fn
+        return fn
+
+    def _evaluate_batch_full(self, model, params, batch, labels,
+                             gt_ids, valid, fetch: bool = True):
+        """Full-catalog GT ranks for one batch. The competitor exclusion set
+        per row is the sampled protocol's: the sequence's labels + the
+        ground truths (the GT never self-counts regardless)."""
+        exclude = np.concatenate(
+            [np.where(labels > 0, labels, -1),
+             np.where(valid, gt_ids, -1)], axis=1).astype(np.int32)
+        feature_batch = {k: v for k, v in batch.items()
+                         if k not in ("labels", "example_weights")}
+        placed = self._place_on_mesh(
+            {**feature_batch, "exclude": jnp.asarray(exclude)})
+        exclude = placed.pop("exclude")
+        ranks = self._full_rank_fn(model)(params, placed, exclude)
+        if not fetch:
+            return ranks  # device array; caller fetches + filters > 0
+        ranks = np.asarray(ranks)
+        return ranks[ranks > 0]  # global batch in multi-host runs
+
+    # ------------------------------------------------------------------ #
 
     def _sample_negatives(self, without_lists, n: int) -> np.ndarray:
         """[N, sample_size] negative ids, one row per masked position."""
@@ -310,6 +368,11 @@ class BERT4RecEvaluator(BaseEvaluator):
             # empty batch: peers would enter the global computation and
             # hang — proceed with all-invalid rows (ranks come back 0)
             return np.empty(0, dtype=np.int64)
+
+        if self.full_ranking:
+            return self._evaluate_batch_full(model, params, batch,
+                                             labels, gt_ids, valid,
+                                             fetch=fetch)
 
         if (self._device_sampling_available()
                 and hasattr(model, "score_candidates")):

@@ -291,6 +291,43 @@ class BERT4RecModel:
             return ids, jnp.exp(values - lse)
         return ids, values
 
+    def gt_ranks_full_vocab(self, params: dict, inputs: dict, *,
+                            exclude: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
+        """1-based rank of each masked position's ground truth against the
+        ENTIRE catalog — the unsampled evaluation protocol.
+
+        Sampled metrics (the reference's 101-candidate protocol,
+        reference bert4rec/evaluation/bert4rec_evaluator.py:90-120) are
+        biased estimators of the true ranking metrics (Krichene & Rendle,
+        KDD 2020); this is the exact counterpart: rank = 1 + the number of
+        non-excluded catalog items whose logit ties or beats the ground
+        truth's (ties ahead of the GT, consistent with the sampled path).
+        The ground-truth column itself never self-counts.
+
+        One [B, P, V] comparison + reduction — no argsort, no top-k cutoff;
+        on a vocab-sharded table GSPMD keeps the logits column-parallel and
+        reduces the count with one psum.
+
+        :param exclude: optional ``[B, E]`` int ids (< 0 = padding) removed
+            from the competitor set per batch row (seen items / specials)
+        :returns: ``[B, P]`` int32 ranks (>= 1)
+        """
+        gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)
+        out = self.apply(params, inputs)
+        logits = out["mlm_logits"]                           # [B, P, V] fp32
+        gt = jnp.take_along_axis(logits, gt_ids[..., None], axis=-1)
+        if exclude is not None:
+            from bert4rec_tpu.ops import sharded_topk
+            bias = sharded_topk.exclusion_bias(
+                jnp.asarray(exclude), logits.shape[-1])
+            logits = logits + bias[:, None, :]
+        b, p = gt_ids.shape
+        logits = logits.at[jnp.arange(b)[:, None],
+                           jnp.arange(p)[None, :], gt_ids].set(-1e9)
+        beaten = jnp.sum((logits >= gt).astype(jnp.int32), axis=-1)
+        return beaten + 1
+
     def rank_items(self, params: dict, encoder_input: dict,
                    rank_items_list: Optional[jnp.ndarray] = None) -> tuple:
         """Reference-signature convenience (bert4rec_model.py:203).

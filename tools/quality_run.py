@@ -48,6 +48,10 @@ def build_argparser():
                    help="output dir (default: quality_runs/<dataset>)")
     p.add_argument("--smoke", action="store_true",
                    help="offline end-to-end self-test on synthetic data")
+    p.add_argument("--full-ranking", action="store_true",
+                   help="also evaluate against the ENTIRE catalog (unbiased "
+                        "protocol; Krichene & Rendle 2020) and emit the "
+                        "numbers under results_full_ranking")
     return p
 
 
@@ -113,6 +117,10 @@ def run_real(args):
     evaluator = BERT4RecEvaluator(dataloader=dataloader)
     results = evaluator.evaluate(model, trainer.params, test_ds,
                                  batch_size=args.batch_size)
+    full_results = None
+    if args.full_ranking:
+        full_results = BERT4RecEvaluator(full_ranking=True).evaluate(
+            model, trainer.params, test_ds, batch_size=args.batch_size)
     emit(out_dir, {
         "dataset": args.dataset,
         "encoder_config": args.config,
@@ -128,6 +136,9 @@ def run_real(args):
         "epochs_ran": len(history.history.get("loss", [])),
         "wall_seconds": time.time() - t0,
         "results": {k: float(v) for k, v in results.items()},
+        **({"results_full_ranking":
+            {k: float(v) for k, v in full_results.items()}}
+           if full_results is not None else {}),
     })
     return 0
 
