@@ -6,10 +6,11 @@ from bert4rec_tpu.models.bert4rec_model import BERT4RecModel, SPECIAL_TOKEN_IDS
 from bert4rec_tpu.models.sasrec_model import SASRecModel
 from bert4rec_tpu.models.model_wrapper import ModelWrapper
 from bert4rec_tpu.models.bert4rec_wrapper import BERT4RecModelWrapper
-from bert4rec_tpu.models import export, model_utils
+from bert4rec_tpu.models import export, model_utils, quantization
 
 __all__ = [
     "export",
+    "quantization",
     "BERT4RecConfig",
     "Bert4RecEncoder",
     "BERT4RecModel",

@@ -78,9 +78,23 @@ class BERT4RecModel:
         """
         compute_dtype = self.dtype_policy.compute_dtype
         x = self.mlm_transform(params, sequence_output, masked_lm_positions)
-        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
-        logits = jnp.einsum("bpw,vw->bpv", x, table.astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
+        emb = params["encoder"]["item_embeddings"]
+        if "embedding_q" in emb:
+            # int8 weights-only table (models/quantization.py): matmul the
+            # raw int8 codes, then scale per column — exact per-row-scale
+            # dequantization without ever materializing a dense [V, W].
+            # The barrier keeps compile-time constant folding (jax.export
+            # embeds weights as constants) from baking a dense fp32 copy
+            # of the converted table into the artifact.
+            q = jax.lax.optimization_barrier(emb["embedding_q"])
+            logits = jnp.einsum("bpw,vw->bpv", x, q.astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+            logits = logits * emb["embedding_scale"]
+        else:
+            table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+            logits = jnp.einsum("bpw,vw->bpv", x,
+                                table.astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
         logits = logits + params["mlm"]["output_bias"]
         if self.config.padded_vocab_size > self.config.vocab_size:
             # vocab-padding ids (rows added for 'model'-axis divisibility)
@@ -103,16 +117,20 @@ class BERT4RecModel:
 
     def _mlm_hidden_and_table(self, params: dict, inputs: dict, *,
                               training: bool = False,
-                              rng: Optional[jax.Array] = None) -> tuple:
+                              rng: Optional[jax.Array] = None,
+                              dense_table: bool = True) -> tuple:
         """Shared front half of every head-fused path: encoder forward +
-        MLM transform of the masked positions + the tied table."""
+        MLM transform of the masked positions + the tied table
+        (``dense_table=False`` skips building it — quantized fast paths
+        read the raw quantized leaves instead)."""
         enc = self.encoder.apply(
             params["encoder"], inputs["input_word_ids"],
             inputs["input_mask"], training=training, rng=rng,
             input_timestamps=inputs.get("input_timestamps"))
         hidden = self.mlm_transform(params, enc["sequence_output"],
                                     inputs["masked_lm_positions"])
-        table = Bert4RecEncoder.get_embedding_table(params["encoder"])
+        table = (Bert4RecEncoder.get_embedding_table(params["encoder"])
+                 if dense_table else None)
         return hidden, table
 
     def score_candidates(self, params: dict, inputs: dict,
@@ -126,6 +144,13 @@ class BERT4RecModel:
         'model' axis — the candidate gather then runs shard-local under
         shard_map instead of GSPMD all-gathering the full table."""
         from bert4rec_tpu.ops import candidate_scoring
+        emb = params["encoder"]["item_embeddings"]
+        if "embedding_q" in emb and mesh is None:
+            # quantized serving: dequantize only the gathered candidate rows
+            hidden, _ = self._mlm_hidden_and_table(
+                params, inputs, dense_table=False)
+            return candidate_scoring.score_candidates_quantized(
+                hidden, emb, params["mlm"]["output_bias"], candidates)
         hidden, table = self._mlm_hidden_and_table(params, inputs)
         if mesh is not None:
             from bert4rec_tpu.core.mesh import MODEL_AXIS

@@ -95,8 +95,41 @@ def init_embedding(rng, vocab_size: int, width: int, stddev: float) -> dict:
 def embedding_lookup(params: dict, ids: jnp.ndarray,
                      compute_dtype=jnp.float32) -> jnp.ndarray:
     """Gather rows; one-hot matmul is left to XLA/GSPMD to choose when the
-    table is sharded (it rewrites gathers over sharded operands)."""
+    table is sharded (it rewrites gathers over sharded operands).
+
+    Handles both dense (``embedding``) and int8 weights-only quantized
+    tables (``embedding_q`` + ``embedding_scale``; models/quantization.py)
+    — quantized rows are dequantized after the gather, so only the touched
+    rows pay the multiply."""
+    if "embedding_q" in params:
+        rows = jnp.take(params["embedding_q"], ids, axis=0) \
+            .astype(compute_dtype)
+        scale = jnp.take(params["embedding_scale"], ids, axis=0) \
+            .astype(compute_dtype)
+        return rows * scale[..., None]
     return jnp.take(params["embedding"], ids, axis=0).astype(compute_dtype)
+
+
+def quantize_embedding(params: dict) -> dict:
+    """Weights-only int8 quantization of an embedding table, symmetric
+    per-row (per-item) scales: ``q = round(row / s)``, ``s = max|row|/127``.
+
+    Row granularity keeps the tied-softmax math exact to apply *after* the
+    logits matmul (``(h @ q^T) * s`` == ``h @ (q * s)^T``), so the serving
+    paths never materialize a dequantized table."""
+    table = params["embedding"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(table), axis=1) / 127.0
+    scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(table / scale[:, None]), -127, 127) \
+        .astype(jnp.int8)
+    return {"embedding_q": q, "embedding_scale": scale}
+
+
+def dequantize_embedding(params: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense ``[V, W]`` table from a quantized one (the correctness
+    fallback for paths without a quantized fast path)."""
+    return (params["embedding_q"].astype(dtype)
+            * params["embedding_scale"][:, None].astype(dtype))
 
 
 def init_position_embedding(rng, max_length: int, width: int,

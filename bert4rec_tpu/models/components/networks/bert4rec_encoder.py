@@ -283,8 +283,15 @@ class Bert4RecEncoder:
 
     @staticmethod
     def get_embedding_table(params: dict) -> jnp.ndarray:
-        """The tied item-embedding table [V, W] (reference :233-234)."""
-        return params["item_embeddings"]["embedding"]
+        """The tied item-embedding table [V, W] (reference :233-234).
+
+        An int8-quantized table (models/quantization.py) is dequantized
+        here — the correctness fallback; hot serving paths branch on the
+        quantized form and never build this dense tensor."""
+        emb = params["item_embeddings"]
+        if "embedding_q" in emb:
+            return L.dequantize_embedding(emb)
+        return emb["embedding"]
 
     def get_config(self) -> dict:
         return self.config.to_dict()

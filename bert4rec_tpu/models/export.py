@@ -51,10 +51,22 @@ def _export(fn, specs, platforms):
     return jax_export.export(jitted)(*specs)
 
 
+def _prepare_params(params, quantize):
+    params = jax.device_get(params)   # embed as host constants
+    if quantize is None:
+        return params
+    if quantize != "int8":
+        raise ValueError(f"unknown quantize mode {quantize!r}; "
+                         "supported: None, 'int8'")
+    from bert4rec_tpu.models import quantization
+    return jax.device_get(quantization.quantize_params(params))
+
+
 def export_top_k(model, params, k: int, *,
                  batch_size: Optional[int] = None,
                  num_positions: Optional[int] = None,
-                 platforms: Optional[Sequence[str]] = None
+                 platforms: Optional[Sequence[str]] = None,
+                 quantize: Optional[str] = None
                  ) -> jax_export.Exported:
     """Export full-vocab top-k ranking (``model.rank_top_k`` math) with the
     weights baked in.
@@ -63,11 +75,14 @@ def export_top_k(model, params, k: int, *,
     :param num_positions: masked positions per row (default: the config's
         ``max_predictions_per_seq``)
     :param platforms: lowering platforms (default: current backend)
+    :param quantize: ``"int8"`` embeds the item table weights-only
+        quantized (models/quantization.py) — ~4x smaller artifact and 4x
+        less table traffic at catalog scale
     """
     cfg = model.config
     s = cfg.max_sequence_length
     p = num_positions or cfg.max_predictions_per_seq
-    params = jax.device_get(params)   # embed as host constants
+    params = _prepare_params(params, quantize)
 
     def serve_top_k(input_word_ids, input_mask, masked_lm_positions):
         inputs = {"input_word_ids": input_word_ids,
@@ -84,15 +99,17 @@ def export_top_k(model, params, k: int, *,
 def export_score_candidates(model, params, num_candidates: int, *,
                             batch_size: Optional[int] = None,
                             num_positions: Optional[int] = None,
-                            platforms: Optional[Sequence[str]] = None
+                            platforms: Optional[Sequence[str]] = None,
+                            quantize: Optional[str] = None
                             ) -> jax_export.Exported:
     """Export candidate-only scoring (``model.score_candidates`` math —
     the [B,P,C] eval/serving hot path that never builds full-vocab logits)
-    with the weights baked in."""
+    with the weights baked in. ``quantize="int8"`` as in
+    :func:`export_top_k`."""
     cfg = model.config
     s = cfg.max_sequence_length
     p = num_positions or cfg.max_predictions_per_seq
-    params = jax.device_get(params)
+    params = _prepare_params(params, quantize)
 
     def serve_scores(input_word_ids, input_mask, masked_lm_positions,
                      candidates):

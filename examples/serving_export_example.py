@@ -43,6 +43,13 @@ def main(artifact_path: str = "/tmp/bert4rec_topk.jaxexport"):
         top_ids, top_scores = served.call(ids, mask, positions)
         print(f"batch {batch}: top-10 ids {np.asarray(top_ids)[0, 0]}")
 
+    # --- int8 weights-only quantized artifact: ~4x smaller ------------- #
+    q_path = artifact_path.replace(".jaxexport", ".int8.jaxexport")
+    export.save_artifact(
+        export.export_top_k(model, params, k=10, quantize="int8"), q_path)
+    q_mb = pathlib.Path(q_path).stat().st_size / 1e6
+    print(f"int8 artifact {q_path} ({q_mb:.1f} MB vs {size_mb:.1f} MB fp32)")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
