@@ -94,7 +94,12 @@ class EarlyStopping(Callback):
             self.best = float(value)
             self.wait = 0
             if self.restore_best_weights:
-                self.best_state = trainer.state
+                # deep-copy: the train step donates its input state buffers
+                # (donate_argnums=0), so holding a reference would leave
+                # deleted arrays here after the next step on TPU
+                import jax
+                import jax.numpy as jnp
+                self.best_state = jax.tree.map(jnp.copy, trainer.state)
         else:
             self.wait += 1
             if self.wait >= self.patience:

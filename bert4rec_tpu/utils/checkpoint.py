@@ -21,6 +21,20 @@ import numpy as np
 _SEP = "/"
 
 
+def _leaf_to_numpy(leaf):
+    """Host value of a leaf; multi-host sharded arrays are gathered.
+
+    Under ``jax.process_count() > 1`` the train state's leaves are global
+    ``jax.Array``s whose shards live on other processes' devices too —
+    ``np.asarray`` on those raises. ``process_allgather`` is a collective:
+    every process must reach this call (they do — the trainer runs callbacks
+    identically on all processes)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def _path_key(path) -> str:
     parts = []
     for k in path:
@@ -36,22 +50,33 @@ def _path_key(path) -> str:
 
 
 def save_pytree(path, tree: Any) -> None:
-    """Save every array leaf of ``tree`` to ``path`` (a ``.npz`` file)."""
+    """Save every array leaf of ``tree`` to ``path`` (a ``.npz`` file).
+
+    Multi-host safe: leaf gathering is a collective every process joins
+    (:func:`_leaf_to_numpy`), but only process 0 writes the file —
+    concurrent writers to one path would corrupt it — and a global barrier
+    afterwards guarantees the checkpoint is visible (on a shared
+    filesystem) before any process resumes past the save."""
     path = pathlib.Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    multi_host = jax.process_count() > 1
     leaves = {}
     for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        leaves[_path_key(p)] = np.asarray(leaf)
-    # atomic write: tmp file in the same dir, then rename
-    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz.tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **leaves)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+        leaves[_path_key(p)] = _leaf_to_numpy(leaf)
+    if not multi_host or jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        # atomic write: tmp file in the same dir, then rename
+        fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **leaves)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    if multi_host:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"save_pytree:{path}")
 
 
 def load_pytree(path, target: Any) -> Any:

@@ -103,7 +103,8 @@ class ZippedShards:
                    for k in locals_[0]}
 
 
-def run(train_l, val_l, test_l, batch_size, mesh, model, test_rows):
+def run(train_l, val_l, test_l, batch_size, mesh, model, test_rows,
+        ckpt_path=None):
     from bert4rec_tpu.trainers import BERT4RecTrainer
     # steps_per_call=2 also exercises the stacked [K, B, ...] global-batch
     # assembly under multi-process (math-identical to single-step)
@@ -122,10 +123,25 @@ def run(train_l, val_l, test_l, batch_size, mesh, model, test_rows):
     results_host = ev_host.evaluate(model, trainer.state["params"], test_l,
                                     batch_size=batch_size,
                                     progress_bar=False, seed=3)
-    return {"history": {k: [float(x) for x in v]
-                        for k, v in history.history.items()},
-            "eval": {k: float(v) for k, v in results.items()},
-            "eval_host": {k: float(v) for k, v in results_host.items()}}
+    payload = {"history": {k: [float(x) for x in v]
+                           for k, v in history.history.items()},
+               "eval": {k: float(v) for k, v in results.items()},
+               "eval_host": {k: float(v) for k, v in results_host.items()}}
+
+    if ckpt_path is not None:
+        # checkpoint round trip THROUGH the multi-host collective-gather /
+        # process-0-write path: save the trained state, restore it into a
+        # freshly (differently) initialized trainer, and validate — the
+        # restored state must reproduce the original's metrics exactly
+        trainer.save_checkpoint(ckpt_path)
+        restored = BERT4RecTrainer(model, mesh=mesh, steps_per_call=2)
+        restored.initialize_model(rng=jax.random.key(123))
+        restored.load_checkpoint(ckpt_path)
+        payload["val_original"] = trainer.validate(
+            val_l, batch_size=batch_size, seed=9)
+        payload["val_restored"] = restored.validate(
+            val_l, batch_size=batch_size, seed=9)
+    return payload
 
 
 def main():
@@ -138,9 +154,14 @@ def main():
         assert jax.process_count() == 2 and jax.device_count() == 8
         train, val, test, test_rows = build_datasets()
         model, mesh = build_model_and_mesh()
+        # both processes derive the SAME checkpoint path from the shared
+        # output directory — exactly what a real multi-host run does on a
+        # shared filesystem
+        ckpt = os.path.join(os.path.dirname(os.path.abspath(out)),
+                            "dist_ckpt", "state.npz")
         payload = run(train.shard_for_process(), val.shard_for_process(),
                       test.shard_for_process(), GLOBAL_BATCH // 2,
-                      mesh, model, test_rows)
+                      mesh, model, test_rows, ckpt_path=ckpt)
         payload["process_index"] = jax.process_index()
     else:
         out = sys.argv[2]
@@ -148,9 +169,11 @@ def main():
         train, val, test, test_rows = build_datasets()
         model, mesh = build_model_and_mesh()
         shard = lambda ds: [ds.shard_for_process(i, 2) for i in (0, 1)]  # noqa: E731
+        ckpt = os.path.join(os.path.dirname(os.path.abspath(out)),
+                            "single_ckpt", "state.npz")
         payload = run(ZippedShards(shard(train)), ZippedShards(shard(val)),
                       ZippedShards(shard(test)), GLOBAL_BATCH,
-                      mesh, model, test_rows)
+                      mesh, model, test_rows, ckpt_path=ckpt)
     with open(out, "w") as f:
         json.dump(payload, f)
     print("WORKER_DONE", mode, flush=True)

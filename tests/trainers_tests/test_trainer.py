@@ -149,6 +149,24 @@ class TestTrainer:
                         jax.tree.leaves(trainer2.state["opt_state"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_early_stopping_best_state_is_a_copy(self):
+        """restore_best_weights must deep-copy the state: the train step
+        donates its input buffers (donate_argnums=0), so an aliased
+        snapshot would hold deleted arrays after the next step on TPU."""
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        cb = EarlyStopping(monitor="loss", patience=100,
+                           restore_best_weights=True)
+        trainer.append_callback(cb)
+        trainer.train(make_dataset(n=32), epochs=1, batch_size=16,
+                      verbose=False)
+        assert cb.best_state is not None
+        for a, b in zip(jax.tree.leaves(cb.best_state),
+                        jax.tree.leaves(trainer.state)):
+            assert a is not b
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_validation_logs(self):
         model = make_model()
         trainer = BERT4RecTrainer(model)
