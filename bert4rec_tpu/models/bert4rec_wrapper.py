@@ -50,20 +50,29 @@ class BERT4RecModelWrapper(ModelWrapper):
             raise RuntimeError(
                 "The model can't be saved yet: no parameters attached. "
                 "Initialize/train the model and call update_params first.")
+        import jax
         save_path = model_utils.determine_model_path(save_path, mode)
         save_path.mkdir(parents=True, exist_ok=True)
 
+        # multi-host: every process joins the weight gather inside
+        # save_pytree, process 0 alone writes files (concurrent writers to
+        # one shared-filesystem path would interleave), and the final
+        # barrier makes the complete artifact visible to all before return
+        multi_host = jax.process_count() > 1
         checkpoint.save_pytree(save_path / WEIGHTS_FILE, self.params)
 
-        with open(save_path / ENCODER_CONFIG_FILE, "w") as f:
-            json.dump(self.model.get_config(), f, indent=2)
-
         if tokenizer is not None:
-            tokenizer.export_vocab_to_file(save_path / VOCAB_FILE)
             self.update_meta({"tokenizer": tokenizer.identifier})
-
-        with open(save_path / META_CONFIG_FILE, "w") as f:
-            json.dump(self._meta_config, f, indent=2)
+        if not multi_host or jax.process_index() == 0:
+            with open(save_path / ENCODER_CONFIG_FILE, "w") as f:
+                json.dump(self.model.get_config(), f, indent=2)
+            if tokenizer is not None:
+                tokenizer.export_vocab_to_file(save_path / VOCAB_FILE)
+            with open(save_path / META_CONFIG_FILE, "w") as f:
+                json.dump(self._meta_config, f, indent=2)
+        if multi_host:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"wrapper_save:{save_path}")
         return save_path
 
     # ------------------------------------------------------------------ #
