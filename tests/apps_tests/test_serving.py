@@ -1,0 +1,222 @@
+"""Serving runtime tests: micro-batching, service semantics, HTTP API."""
+
+import http.client
+import json
+import threading
+import time
+
+import jax
+import pytest
+
+from bert4rec_tpu.apps import (
+    MicroBatcher, Recommender, RecommenderService, ServingServer,
+)
+from bert4rec_tpu.dataloaders import BERT4RecDataloader
+from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+from tests import test_utils
+
+SEQ_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def service_setup():
+    dataloader = BERT4RecDataloader(max_seq_len=SEQ_LEN,
+                                    max_predictions_per_seq=3)
+    vocab = test_utils.generate_random_word_list(n_words=30, seed=0)
+    dataloader.generate_vocab(vocab)
+    cfg = BERT4RecConfig(vocab_size=dataloader.tokenizer.get_vocab_size(),
+                         hidden_size=16, num_layers=1,
+                         num_attention_heads=2, inner_dim=32,
+                         max_sequence_length=SEQ_LEN,
+                         max_predictions_per_seq=3)
+    model = BERT4RecModel(config=cfg)
+    params = model.init(jax.random.key(0))
+    recommender = Recommender(model, params, dataloader)
+    return recommender, vocab
+
+
+class TestMicroBatcher:
+
+    def test_coalesces_concurrent_requests(self):
+        batch_sizes = []
+        release = threading.Event()
+
+        def handler(items):
+            release.wait(timeout=5)
+            batch_sizes.append(len(items))
+            return [x * 10 for x in items]
+
+        mb = MicroBatcher(handler, max_batch_size=8, max_wait_ms=50)
+        try:
+            # first request occupies the worker until `release`; the rest
+            # queue up and must arrive as ONE later batch
+            futs = [mb.submit(0)]
+            time.sleep(0.05)
+            futs += [mb.submit(i) for i in range(1, 6)]
+            release.set()
+            assert [f.result(timeout=5) for f in futs] == \
+                [0, 10, 20, 30, 40, 50]
+            assert batch_sizes[0] == 1
+            assert sum(batch_sizes) == 6
+            assert len(batch_sizes) <= 3  # the 5 waiters coalesced
+            assert mb.stats["requests"] == 6
+        finally:
+            mb.close()
+
+    def test_respects_max_batch_size(self):
+        seen = []
+        gate = threading.Event()
+
+        def handler(items):
+            gate.wait(timeout=5)
+            seen.append(len(items))
+            return list(items)
+
+        mb = MicroBatcher(handler, max_batch_size=3, max_wait_ms=50)
+        try:
+            futs = [mb.submit(i) for i in range(10)]
+            gate.set()
+            for f in futs:
+                f.result(timeout=5)
+            assert max(seen) <= 3
+        finally:
+            mb.close()
+
+    def test_handler_error_propagates_and_serving_continues(self):
+        def handler(items):
+            if any(x < 0 for x in items):
+                raise RuntimeError("bad item")
+            return items
+
+        mb = MicroBatcher(handler, max_batch_size=1, max_wait_ms=0)
+        try:
+            bad = mb.submit(-1)
+            with pytest.raises(RuntimeError, match="bad item"):
+                bad.result(timeout=5)
+            assert mb.submit(7).result(timeout=5) == 7
+            assert mb.stats["errors"] == 1
+        finally:
+            mb.close()
+
+    def test_wrong_result_count_is_an_error(self):
+        mb = MicroBatcher(lambda items: [1, 2, 3], max_batch_size=1,
+                          max_wait_ms=0)
+        try:
+            with pytest.raises(RuntimeError, match="results"):
+                mb.submit("x").result(timeout=5)
+        finally:
+            mb.close()
+
+    def test_closed_rejects_submit(self):
+        mb = MicroBatcher(lambda items: items)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(1)
+
+
+class TestRecommenderService:
+
+    def test_matches_direct_batch_and_pads(self, service_setup):
+        recommender, vocab = service_setup
+        service = RecommenderService(recommender, max_k=5,
+                                     batch_capacity=8, max_wait_ms=0)
+        try:
+            histories = [vocab[:4], vocab[4:9], vocab[9:12]]
+            direct = recommender.recommend_batch(
+                [list(h) for h in histories], top_k=5)
+            got = [service.recommend(h, k=5) for h in histories]
+            assert got == direct
+            # per-request k slices the max_k ranking
+            assert service.recommend(histories[0], k=2) == direct[0][:2]
+            assert service.stats["requests"] == 4
+        finally:
+            service.close()
+
+    def test_validates_requests(self, service_setup):
+        recommender, _ = service_setup
+        service = RecommenderService(recommender, max_k=3)
+        try:
+            with pytest.raises(ValueError, match="k must be"):
+                service.submit(["x"], k=4)
+            with pytest.raises(ValueError, match="history"):
+                service.submit([], k=1)
+        finally:
+            service.close()
+
+    def test_concurrent_requests_one_compiled_batch(self, service_setup):
+        recommender, vocab = service_setup
+        service = RecommenderService(recommender, max_k=3,
+                                     batch_capacity=8, max_wait_ms=25)
+        try:
+            # warm up / compile with one request so the concurrent burst
+            # below actually coalesces while the device is busy
+            service.recommend(vocab[:3], k=1)
+            futs = [service.submit(vocab[i:i + 4], k=3) for i in range(8)]
+            results = [f.result(timeout=30) for f in futs]
+            direct = recommender.recommend_batch(
+                [list(vocab[i:i + 4]) for i in range(8)], top_k=3)
+            assert results == direct
+            assert service.stats["batches"] < 1 + 8  # some coalescing
+        finally:
+            service.close()
+
+
+class TestServingServer:
+
+    def _post(self, port, payload, path="/v1/recommend"):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        try:
+            conn.request("POST", path, body=json.dumps(payload),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read())
+        finally:
+            conn.close()
+
+    def test_http_roundtrip_health_and_errors(self, service_setup):
+        recommender, vocab = service_setup
+        service = RecommenderService(recommender, max_k=4,
+                                     batch_capacity=4, max_wait_ms=0)
+        server = ServingServer(service, port=0).start()
+        try:
+            direct = recommender.recommend_batch([list(vocab[:5])], top_k=4)
+
+            status, body = self._post(server.port,
+                                      {"history": vocab[:5], "k": 4})
+            assert status == 200
+            assert body["items"] == direct[0]
+
+            # concurrent clients
+            out = {}
+            def hit(i):
+                out[i] = self._post(server.port,
+                                    {"history": vocab[i:i + 3], "k": 2})
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            for i in range(4):
+                status, body = out[i]
+                assert status == 200 and len(body["items"]) == 2
+
+            status, body = self._post(server.port, {"history": []})
+            assert status == 400 and "history" in body["error"]
+            status, body = self._post(server.port, {"history": ["a"],
+                                                    "k": 99})
+            assert status == 400
+
+            conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                              timeout=10)
+            try:
+                conn.request("GET", "/healthz")
+                resp = conn.getresponse()
+                health = json.loads(resp.read())
+            finally:
+                conn.close()
+            assert resp.status == 200
+            assert health["status"] == "ok"
+            assert health["requests"] >= 5
+        finally:
+            server.stop()
