@@ -114,6 +114,19 @@ def _ln_bwd(dy, xhat, rstd, g):
     return rstd * (dxhat - mean1 - xhat * mean2)
 
 
+_LOG2E = math.log2(math.e)
+
+
+def _softmax_rows(s_mat):
+    """Row softmax in fp32, tuned for the VPU: ``exp2`` of pre-scaled
+    scores (one native VPU op; ``exp`` lowers to scale+exp2 anyway, this
+    folds the scale into the cheap subtract) and a per-row reciprocal
+    broadcast-multiply instead of an [S, S] divide."""
+    m = jnp.max(s_mat, axis=-1, keepdims=True)
+    e = jnp.exp2((s_mat - m) * _LOG2E)
+    return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+
+
 _GELU_C = math.sqrt(2.0 / math.pi)
 
 
@@ -156,9 +169,7 @@ def _attention_fwd(x, mask_row, wqkv, bqkv, n_heads, head_dim, scale,
         k = qkv[:, h_total + h * head_dim: h_total + (h + 1) * head_dim]
         v = qkv[:, 2 * h_total + h * head_dim: 2 * h_total + (h + 1) * head_dim]
         s_mat = _dot(q, k, (((1,), (1,)))) * scale + bias
-        m = jnp.max(s_mat, axis=-1, keepdims=True)
-        e = jnp.exp(s_mat - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)     # [S,S] fp32
+        p = _softmax_rows(s_mat)                       # [S,S] fp32
         if attn_rate > 0.0:
             _site_seed(seed_ref, elem, h)
             p = p * _keep_scale(p.shape, attn_rate)
@@ -324,9 +335,7 @@ def _bwd_element(cb, elem, dtype, seed_ref, x_ref, mask_ref, wqkv, wo, w1,
         k = qkv[:, h_total + h * head_dim: h_total + (h + 1) * head_dim]
         v = qkv[:, 2 * h_total + h * head_dim: 2 * h_total + (h + 1) * head_dim]
         s_mat = _dot(q, k, (((1,), (1,)))) * scale + bias
-        m = jnp.max(s_mat, axis=-1, keepdims=True)
-        e = jnp.exp(s_mat - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = _softmax_rows(s_mat)
         if attn_rate > 0.0:
             _site_seed(seed_ref, elem, h)
             keep1 = _keep_scale(p.shape, attn_rate)
