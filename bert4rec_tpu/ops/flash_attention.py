@@ -92,7 +92,8 @@ def _probs(q, k, mask, scale, causal):
         s_mat = s_mat + jnp.where(col <= row, 0.0, NEG_INF)
     m = jnp.max(s_mat, axis=-1, keepdims=True)
     p = jnp.exp(s_mat - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    # reciprocal broadcast-multiply beats an [S, S] divide on the VPU
+    return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
 
 def _seed_cell(seed_ref, n_heads, head):

@@ -123,7 +123,9 @@ def _bwd_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # reciprocal broadcast-multiply: an [R, Vp] divide is far more VPU
+    # cycles than a per-row reciprocal + multiply
+    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
     onehot = (_row_iota(hidden.shape[0], v_padded)
               == labels).astype(jnp.float32)
     w = (labels > 0).astype(jnp.float32)  # [R, 1]; 0 = pad, -1 = tile pad
