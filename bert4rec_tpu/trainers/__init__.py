@@ -4,7 +4,7 @@ from bert4rec_tpu.trainers.base_trainer import BaseTrainer
 from bert4rec_tpu.trainers.bert4rec_trainer import BERT4RecTrainer
 from bert4rec_tpu.trainers import callbacks, optimizers, trainer_utils
 from bert4rec_tpu.trainers.callbacks import (
-    Callback, EarlyStopping, History, ModelCheckpoint,
+    Callback, EarlyStopping, History, JSONLLogger, ModelCheckpoint,
 )
 
 trainers_map = {

@@ -2,8 +2,10 @@
 EarlyStopping, bert4rec_trainer.py:45-58 & examples). Small native
 equivalents driven by the trainer's epoch loop."""
 
+import json
 import math
 import pathlib
+import time
 
 
 class Callback:
@@ -25,6 +27,45 @@ class History(Callback):
     def on_epoch_end(self, trainer, epoch, logs):
         for k, v in logs.items():
             self.history.setdefault(k, []).append(v)
+
+
+class JSONLLogger(Callback):
+    """Append one JSON line of metrics per epoch to a file.
+
+    Crash-safe observability the in-memory :class:`History` can't give:
+    every line is flushed as it is written, so a killed run leaves a
+    complete record up to its last finished epoch. Multi-host: only
+    process 0 writes (all processes compute identical global metrics).
+
+    Line schema: ``{"epoch": E, "step": S, "wall_time": unix_seconds,
+    <metric>: value, ...}``.
+    """
+
+    def __init__(self, filepath):
+        self.filepath = pathlib.Path(filepath)
+        self._primary = None
+
+    def _is_primary(self) -> bool:
+        if self._primary is None:
+            import jax
+            self._primary = (jax.process_count() == 1
+                             or jax.process_index() == 0)
+        return self._primary
+
+    def on_train_begin(self, trainer):
+        if self._is_primary():
+            self.filepath.parent.mkdir(parents=True, exist_ok=True)
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if not self._is_primary():
+            return
+        record = {"epoch": epoch + 1,
+                  "step": int(trainer.state["step"]),
+                  "wall_time": time.time()}
+        record.update({k: float(v) for k, v in logs.items()})
+        with open(self.filepath, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
 
 
 class ModelCheckpoint(Callback):

@@ -149,6 +149,22 @@ class TestTrainer:
                         jax.tree.leaves(trainer2.state["opt_state"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_jsonl_logger_writes_flushed_epoch_lines(self, tmp_path):
+        import json
+        from bert4rec_tpu.trainers import JSONLLogger
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        path = tmp_path / "logs" / "train.jsonl"
+        trainer.append_callback(JSONLLogger(path))
+        trainer.train(make_dataset(n=32), epochs=2, batch_size=16,
+                      verbose=False)
+        lines = [json.loads(line) for line in
+                 path.read_text().splitlines()]
+        assert [r["epoch"] for r in lines] == [1, 2]
+        assert lines[1]["step"] > lines[0]["step"]
+        assert all("loss" in r and "wall_time" in r for r in lines)
+
     def test_early_stopping_best_state_is_a_copy(self):
         """restore_best_weights must deep-copy the state: the train step
         donates its input buffers (donate_argnums=0), so an aliased
