@@ -48,6 +48,12 @@ def build_argparser():
                    help="output dir (default: quality_runs/<dataset>)")
     p.add_argument("--smoke", action="store_true",
                    help="offline end-to-end self-test on synthetic data")
+    p.add_argument("--smoke-scale", default="tiny",
+                   choices=["tiny", "ml1m"],
+                   help="--smoke size: 'tiny' (CPU, seconds) or 'ml1m' "
+                        "(catalog 3706 / seq 200 / batch 256 / the "
+                        "ml-1m_128 encoder with the TPU fused paths — "
+                        "quality machinery proven at real scale on chip)")
     p.add_argument("--full-ranking", action="store_true",
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
@@ -143,6 +149,23 @@ def run_real(args):
     return 0
 
 
+# --smoke presets: synthetic next-in-cycle ("markov") data, sized either
+# for a seconds-long CPU self-test or for an on-chip run at the real
+# ml-1m_128 shape (catalog 3706 / seq 200 / batch 256 / fused TPU paths)
+_SMOKE_PRESETS = {
+    "tiny": dict(n_items=40, seq=16, max_pred=4, mask_rate=0.3,
+                 train_rows=384, test_rows=64, epochs=60, batch_size=64,
+                 lr=1e-2, sample_size=20, model=dict(
+                     hidden_size=48, num_layers=2, num_attention_heads=4,
+                     inner_dim=96)),
+    "ml1m": dict(n_items=3706, seq=200, max_pred=40, mask_rate=0.2,
+                 train_rows=8192, test_rows=1024, epochs=15, batch_size=256,
+                 lr=1e-3, sample_size=100, model=dict(
+                     hidden_size=128, num_layers=2, num_attention_heads=4,
+                     inner_dim=512)),
+}
+
+
 def run_smoke(args):
     import numpy as np
     import jax
@@ -154,49 +177,61 @@ def run_smoke(args):
     from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
-    vocab, seq = 43, 16
-    rng = np.random.default_rng(0)
+    ps = _SMOKE_PRESETS[args.smoke_scale]
+    n_items, seq = ps["n_items"], ps["seq"]
+    vocab = n_items + 3
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     def markov(n, sd):
         r = np.random.default_rng(sd)
-        return [((np.arange(int(r.integers(8, seq + 1)))
-                  + int(r.integers(0, 40))) % 40 + 3).astype(np.int32)
-                for _ in range(n)]
+        return [((np.arange(int(r.integers(seq // 2, seq + 1)))
+                  + int(r.integers(0, n_items))) % n_items + 3)
+                .astype(np.int32) for _ in range(n)]
 
-    cfg = MaskingConfig(max_seq_len=seq, max_predictions_per_seq=4,
+    cfg = MaskingConfig(max_seq_len=seq,
+                        max_predictions_per_seq=ps["max_pred"],
                         mask_token_id=1, pad_token_id=0, unk_token_id=2,
-                        masked_lm_rate=0.3)
-    train = ProcessedDataset(markov(384, 0), cfg, lambda: vocab)
-    test_rows = markov(64, 1)
+                        masked_lm_rate=ps["mask_rate"])
+    train = ProcessedDataset(markov(ps["train_rows"], 0), cfg,
+                             lambda: vocab)
+    test_rows = markov(ps["test_rows"], 1)
     test = ProcessedDataset(test_rows, cfg, lambda: vocab,
-                            finetuning=np.ones(64, bool))
+                            finetuning=np.ones(len(test_rows), bool))
 
     model = BERT4RecModel(config=BERT4RecConfig(
-        vocab_size=vocab, hidden_size=48, num_layers=2,
-        num_attention_heads=4, inner_dim=96, max_sequence_length=seq,
-        max_predictions_per_seq=4))
-    trainer = BERT4RecTrainer(model)
+        vocab_size=vocab, max_sequence_length=seq,
+        max_predictions_per_seq=ps["max_pred"],
+        use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
+    trainer = BERT4RecTrainer(model, steps_per_call=4 if on_tpu else 1)
     trainer.initialize_model(
         optimizer=optimizers.create_adam_w_optimizer(
-            init_lr=1e-2, num_train_steps=20_000, num_warmup_steps=50),
+            init_lr=ps["lr"], num_train_steps=20_000, num_warmup_steps=50),
         rng=jax.random.key(args.seed))
     t0 = time.time()
-    trainer.train(train, epochs=60, batch_size=64, verbose=False,
-                  seed=args.seed)
+    trainer.train(train, epochs=ps["epochs"], batch_size=ps["batch_size"],
+                  verbose=False, seed=args.seed)
 
     source = [int(t) for s in test_rows for t in s]
     evaluator = BERT4RecEvaluator(
         sampler=samplers.get("pop_random", source=source,
                              vocab=list(dict.fromkeys(source)),
-                             sample_size=20, seed=0),
-        sample_size=20)
+                             sample_size=ps["sample_size"], seed=0),
+        sample_size=ps["sample_size"])
     results = evaluator.evaluate(model, trainer.params, test,
-                                 batch_size=64, progress_bar=False)
+                                 batch_size=ps["batch_size"],
+                                 progress_bar=False)
     assert results["HR@10"] > 0.5, f"smoke run failed to learn: {results}"
-    emit(args.out or "quality_runs/smoke", {
-        "dataset": "synthetic-markov (smoke)",
-        "encoder_config": "tiny",
-        "hyperparameters": {"epochs": 60, "batch_size": 64},
+    out_default = ("quality_runs/smoke" if args.smoke_scale == "tiny"
+                   else f"quality_runs/smoke_{args.smoke_scale}")
+    emit(args.out or out_default, {
+        "dataset": f"synthetic-markov (smoke, {args.smoke_scale})",
+        "encoder_config": ("tiny" if args.smoke_scale == "tiny"
+                           else "ml-1m_128-shaped"),
+        "platform": jax.devices()[0].platform,
+        "hyperparameters": {"epochs": ps["epochs"],
+                            "batch_size": ps["batch_size"],
+                            "lr": ps["lr"],
+                            "sample_size": ps["sample_size"]},
         "vocab_size": vocab,
         "wall_seconds": time.time() - t0,
         "results": {k: float(v) for k, v in results.items()},
