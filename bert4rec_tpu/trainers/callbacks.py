@@ -84,6 +84,7 @@ class ModelCheckpoint(Callback):
         self.save_best_only = save_best_only
         self.verbose = verbose
         self.best: float = -math.inf if mode == "max" else math.inf
+        self._warned_missing_monitor = False
 
     def _improved(self, value: float) -> bool:
         return value > self.best if self.mode == "max" else value < self.best
@@ -91,6 +92,14 @@ class ModelCheckpoint(Callback):
     def on_epoch_end(self, trainer, epoch, logs):
         value = logs.get(self.monitor)
         if value is None and self.save_best_only:
+            # silently never checkpointing would be a footgun (e.g.
+            # training without val_ds while monitoring a val_ metric)
+            if not self._warned_missing_monitor:
+                print(f"[checkpoint] monitor {self.monitor!r} is not in "
+                      f"the epoch logs ({sorted(logs)}); skipping saves — "
+                      f"monitor a train metric or pass "
+                      f"save_best_only=False to save every epoch")
+                self._warned_missing_monitor = True
             return
         if self.save_best_only and not self._improved(float(value)):
             return
