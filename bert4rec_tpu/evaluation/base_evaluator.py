@@ -46,10 +46,14 @@ class BaseEvaluator(abc.ABC):
 
     def save_results(self, save_path,
                      file_name: str = "eval_results.json") -> pathlib.Path:
-        """JSON export (reference :64-79)."""
+        """JSON export (reference :64-79). Multi-host: process 0 writes
+        (every process computes the same global metrics; concurrent
+        writers to one shared-filesystem path would interleave)."""
+        import jax
         save_path = pathlib.Path(save_path)
-        save_path.mkdir(parents=True, exist_ok=True)
         out = save_path / file_name
-        with open(out, "w") as f:
-            json.dump(self.get_metrics_results(), f, indent=2)
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            save_path.mkdir(parents=True, exist_ok=True)
+            with open(out, "w") as f:
+                json.dump(self.get_metrics_results(), f, indent=2)
         return out
