@@ -39,26 +39,28 @@ class TestMicroBatcher:
 
     def test_coalesces_concurrent_requests(self):
         batch_sizes = []
+        entered = threading.Event()
         release = threading.Event()
 
         def handler(items):
+            entered.set()
             release.wait(timeout=5)
             batch_sizes.append(len(items))
             return [x * 10 for x in items]
 
         mb = MicroBatcher(handler, max_batch_size=8, max_wait_ms=50)
         try:
-            # first request occupies the worker until `release`; the rest
-            # queue up and must arrive as ONE later batch
+            # deterministic under load: wait until the worker holds batch 1
+            # (just the first request), THEN queue 5 more — they are all in
+            # the queue before the worker resumes, so they arrive as ONE
+            # second batch
             futs = [mb.submit(0)]
-            time.sleep(0.05)
+            assert entered.wait(timeout=5)
             futs += [mb.submit(i) for i in range(1, 6)]
             release.set()
             assert [f.result(timeout=5) for f in futs] == \
                 [0, 10, 20, 30, 40, 50]
-            assert batch_sizes[0] == 1
-            assert sum(batch_sizes) == 6
-            assert len(batch_sizes) <= 3  # the 5 waiters coalesced
+            assert batch_sizes == [1, 5]
             assert mb.stats["requests"] == 6
         finally:
             mb.close()
@@ -156,7 +158,10 @@ class TestRecommenderService:
             direct = recommender.recommend_batch(
                 [list(vocab[i:i + 4]) for i in range(8)], top_k=3)
             assert results == direct
-            assert service.stats["batches"] < 1 + 8  # some coalescing
+            # (degree of coalescing is load-dependent here; the
+            # deterministic coalescing contract is asserted in
+            # TestMicroBatcher.test_coalesces_concurrent_requests)
+            assert service.stats["requests"] == 9
         finally:
             service.close()
 
