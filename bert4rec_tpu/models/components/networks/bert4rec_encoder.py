@@ -193,19 +193,29 @@ class Bert4RecEncoder:
                     output_dropout=o_rate,
                     seed=seed, causal=causal)
             else:
-                x = transformer_block(
-                    params["layers"][f"layer_{i}"], x, attn_bias,
-                    num_heads=cfg.num_attention_heads,
-                    inner_activation=act,
-                    output_dropout=cfg.output_dropout,
-                    attention_dropout=cfg.attention_dropout,
-                    rng=rngs[1 + i],
-                    training=training,
-                    norm_first=cfg.norm_first,
-                    compute_dtype=compute_dtype,
-                    query_range=output_range if is_last else None,
-                    use_flash=use_flash,
-                    input_mask=input_mask, causal=causal)
+                def run_block(layer_params, x_in, bias, layer_rng,
+                              _qr=output_range if is_last else None):
+                    return transformer_block(
+                        layer_params, x_in, bias,
+                        num_heads=cfg.num_attention_heads,
+                        inner_activation=act,
+                        output_dropout=cfg.output_dropout,
+                        attention_dropout=cfg.attention_dropout,
+                        rng=layer_rng,
+                        training=training,
+                        norm_first=cfg.norm_first,
+                        compute_dtype=compute_dtype,
+                        query_range=_qr,
+                        use_flash=use_flash,
+                        input_mask=input_mask, causal=causal)
+
+                if cfg.remat:
+                    # trade FLOPs for HBM: autodiff recomputes this layer's
+                    # activations in backward instead of holding them (the
+                    # fused-kernel branch above does this inherently)
+                    run_block = jax.checkpoint(run_block)
+                x = run_block(params["layers"][f"layer_{i}"], x, attn_bias,
+                              rngs[1 + i])
             encoder_outputs.append(x)
 
         sequence_output = encoder_outputs[-1]

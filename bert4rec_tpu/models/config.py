@@ -87,6 +87,13 @@ class BERT4RecConfig:
     # <= i. Runs on the fused-layer/flash kernels (in-VMEM triangle mask)
     # with the usual XLA fallback.
     causal_attention: bool = False
+    # rematerialize each encoder layer under autodiff (jax.checkpoint):
+    # backward recomputes the layer's activations instead of keeping them
+    # in HBM — O(1) layer activations live at a time instead of O(L), the
+    # standard FLOPs-for-HBM trade for deep/base-size configs. Applies to
+    # the unfused (XLA/flash) layer path; the fused Pallas layer already
+    # recomputes everything in its hand-written backward kernel.
+    remat: bool = False
 
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:

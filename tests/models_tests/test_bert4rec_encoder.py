@@ -109,6 +109,30 @@ class TestEncoder:
         assert not np.allclose(np.asarray(c["sequence_output"]),
                                np.asarray(d["sequence_output"]))
 
+    def test_remat_identical_outputs_and_grads(self):
+        """config.remat trades FLOPs for activation HBM via jax.checkpoint;
+        forward values and gradients must be identical to the plain path."""
+        ids, mask = make_inputs()
+
+        def run(remat):
+            enc = Bert4RecEncoder(small_config(remat=remat))
+            params = enc.init(jax.random.key(0))
+
+            def loss(p):
+                out = enc.apply(p, ids, mask)
+                return jnp.sum(out["sequence_output"] ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return val, grads
+
+        v0, g0 = run(False)
+        v1, g1 = run(True)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_config_roundtrip(self):
         cfg = small_config()
         enc = Bert4RecEncoder(cfg)
