@@ -6,6 +6,7 @@ from bert4rec_tpu.evaluation.evaluation_metrics import (
     NDCG, NormalizedDiscountedCumulativeGain,
 )
 from bert4rec_tpu.evaluation.base_evaluator import BaseEvaluator
+from bert4rec_tpu.evaluation.baselines import PopularityScorer
 from bert4rec_tpu.evaluation.bert4rec_evaluator import (
     BERT4RecEvaluator, default_metrics,
 )

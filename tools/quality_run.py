@@ -123,6 +123,12 @@ def run_real(args):
     evaluator = BERT4RecEvaluator(dataloader=dataloader)
     results = evaluator.evaluate(model, trainer.params, test_ds,
                                  batch_size=args.batch_size)
+    # non-learned popularity floor under the identical protocol
+    from bert4rec_tpu.evaluation import PopularityScorer
+    source = list(dataloader.create_item_list_tokenized())
+    floor = BERT4RecEvaluator(dataloader=dataloader).evaluate(
+        PopularityScorer.from_source(source, tokenizer.get_vocab_size()),
+        None, test_ds, batch_size=args.batch_size)
     full_results = None
     if args.full_ranking:
         full_results = BERT4RecEvaluator(full_ranking=True).evaluate(
@@ -142,6 +148,7 @@ def run_real(args):
         "epochs_ran": len(history.history.get("loss", [])),
         "wall_seconds": time.time() - t0,
         "results": {k: float(v) for k, v in results.items()},
+        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
         **({"results_full_ranking":
             {k: float(v) for k, v in full_results.items()}}
            if full_results is not None else {}),
@@ -212,15 +219,26 @@ def run_smoke(args):
                   verbose=False, seed=args.seed)
 
     source = [int(t) for s in test_rows for t in s]
-    evaluator = BERT4RecEvaluator(
-        sampler=samplers.get("pop_random", source=source,
-                             vocab=list(dict.fromkeys(source)),
-                             sample_size=ps["sample_size"], seed=0),
-        sample_size=ps["sample_size"])
-    results = evaluator.evaluate(model, trainer.params, test,
-                                 batch_size=ps["batch_size"],
-                                 progress_bar=False)
+
+    def make_evaluator():
+        return BERT4RecEvaluator(
+            sampler=samplers.get("pop_random", source=source,
+                                 vocab=list(dict.fromkeys(source)),
+                                 sample_size=ps["sample_size"], seed=0),
+            sample_size=ps["sample_size"])
+
+    results = make_evaluator().evaluate(model, trainer.params, test,
+                                        batch_size=ps["batch_size"],
+                                        progress_bar=False)
+    # the non-learned popularity floor under the identical protocol — the
+    # context that makes the model's number meaningful
+    from bert4rec_tpu.evaluation import PopularityScorer
+    floor = make_evaluator().evaluate(
+        PopularityScorer.from_source(source, vocab), None, test,
+        batch_size=ps["batch_size"], progress_bar=False)
     assert results["HR@10"] > 0.5, f"smoke run failed to learn: {results}"
+    assert results["HR@10"] > floor["HR@10"], \
+        f"model does not beat the popularity floor: {results} vs {floor}"
     out_default = ("quality_runs/smoke" if args.smoke_scale == "tiny"
                    else f"quality_runs/smoke_{args.smoke_scale}")
     emit(args.out or out_default, {
@@ -235,6 +253,7 @@ def run_smoke(args):
         "vocab_size": vocab,
         "wall_seconds": time.time() - t0,
         "results": {k: float(v) for k, v in results.items()},
+        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
     })
     return 0
 
