@@ -9,7 +9,7 @@ no MLM head) is ``use_mlm_head=False``: scores = sequence_output @ table^T.
 """
 
 import functools
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -117,3 +117,66 @@ class Recommender:
                                int(top_k))
         return [[tok.detokenize(int(t)) for t in row]
                 for row in np.asarray(ids)]
+
+
+class ArtifactRecommender:
+    """``recommend_batch`` over a weights-embedded AOT serving artifact.
+
+    The live :class:`Recommender` needs the model code and a params
+    pytree; this needs only a deserialized
+    ``models.export.export_top_k(..., num_exclude=E)`` artifact plus a
+    dataloader (tokenizer + inference preprocessing) — the deployment
+    shape where the serving process ships no model code. Drop-in backend
+    for :class:`~bert4rec_tpu.apps.serving.RecommenderService`.
+
+    ``k`` and the exclusion width are read off the artifact's signature;
+    the artifact must have been exported WITH ``num_exclude`` (otherwise
+    seen items could be recommended back).
+    """
+
+    def __init__(self, artifact, dataloader,
+                 special_token_ids=(0, 1, 2)):
+        if len(artifact.in_avals) != 4:
+            raise ValueError(
+                "the artifact must be exported with num_exclude=E "
+                "(export_top_k(..., num_exclude=...)) so seen items can "
+                f"be excluded; got {len(artifact.in_avals)} inputs")
+        self.artifact = artifact
+        self.dataloader = dataloader
+        self.special_token_ids = list(special_token_ids)
+        self._num_exclude = int(artifact.in_avals[3].shape[1])
+        self._k = int(artifact.out_avals[0].shape[-1])
+
+    def recommend_batch(self, sequences, top_k: Optional[int] = None):
+        """Top-k next-item recommendations, ranked by the artifact.
+
+        :param top_k: <= the exported k (defaults to it)
+        """
+        k = self._k if top_k is None else int(top_k)
+        if k > self._k:
+            raise ValueError(f"top_k={k} exceeds the artifact's exported "
+                             f"k={self._k}")
+        tok = self.dataloader.tokenizer
+        feats = self.dataloader.prepare_inference_batch(
+            [list(s) for s in sequences])
+
+        exclude = np.full((len(sequences), self._num_exclude), -1, np.int32)
+        specials = np.asarray(self.special_token_ids, np.int32)
+        for i, s in enumerate(sequences):
+            seen = np.asarray(tok.tokenize(list(s)), dtype=np.int32)
+            row = np.concatenate([seen, specials])
+            if len(row) > self._num_exclude:
+                raise ValueError(
+                    f"history of {len(seen)} items exceeds the artifact's "
+                    f"exclusion width {self._num_exclude}; re-export with "
+                    f"a larger num_exclude")
+            exclude[i, :len(row)] = row
+
+        ids, _ = self.artifact.call(
+            np.asarray(feats["input_word_ids"], np.int32),
+            np.asarray(feats["input_mask"], np.int32),
+            np.asarray(feats["masked_lm_positions"], np.int32),
+            exclude)
+        # the single masked position is slot 0 (last-token mask)
+        return [[tok.detokenize(int(t)) for t in row[:k]]
+                for row in np.asarray(ids)[:, 0]]

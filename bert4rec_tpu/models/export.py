@@ -65,6 +65,7 @@ def _prepare_params(params, quantize):
 def export_top_k(model, params, k: int, *,
                  batch_size: Optional[int] = None,
                  num_positions: Optional[int] = None,
+                 num_exclude: Optional[int] = None,
                  platforms: Optional[Sequence[str]] = None,
                  quantize: Optional[str] = None
                  ) -> jax_export.Exported:
@@ -74,6 +75,10 @@ def export_top_k(model, params, k: int, *,
     :param batch_size: concrete batch, or None for a symbolic batch dim
     :param num_positions: masked positions per row (default: the config's
         ``max_predictions_per_seq``)
+    :param num_exclude: when set, the exported computation takes a FOURTH
+        input ``exclude [b, num_exclude]`` of item ids (< 0 = padding)
+        removed from the ranking per row — seen-item/special exclusion for
+        recommendation serving (apps.ArtifactRecommender)
     :param platforms: lowering platforms (default: current backend)
     :param quantize: ``"int8"`` embeds the item table weights-only
         quantized (models/quantization.py) — ~4x smaller artifact and 4x
@@ -84,16 +89,18 @@ def export_top_k(model, params, k: int, *,
     p = num_positions or cfg.max_predictions_per_seq
     params = _prepare_params(params, quantize)
 
-    def serve_top_k(input_word_ids, input_mask, masked_lm_positions):
+    def serve_top_k(input_word_ids, input_mask, masked_lm_positions,
+                    exclude=None):
         inputs = {"input_word_ids": input_word_ids,
                   "input_mask": input_mask,
                   "masked_lm_positions": masked_lm_positions}
-        return model.rank_top_k(params, inputs, k)
+        return model.rank_top_k(params, inputs, k, exclude=exclude)
 
     b = _batch_dim(batch_size)
-    return _export(serve_top_k,
-                   [_spec((b, s)), _spec((b, s)), _spec((b, p))],
-                   platforms)
+    specs = [_spec((b, s)), _spec((b, s)), _spec((b, p))]
+    if num_exclude is not None:
+        specs.append(_spec((b, int(num_exclude))))
+    return _export(serve_top_k, specs, platforms)
 
 
 def export_score_candidates(model, params, num_candidates: int, *,

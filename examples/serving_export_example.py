@@ -50,6 +50,14 @@ def main(artifact_path: str = "/tmp/bert4rec_topk.jaxexport"):
     q_mb = pathlib.Path(q_path).stat().st_size / 1e6
     print(f"int8 artifact {q_path} ({q_mb:.1f} MB vs {size_mb:.1f} MB fp32)")
 
+    # --- recommendation serving from the artifact alone ---------------- #
+    # export with an exclusion input (seen items / specials), then
+    # apps.ArtifactRecommender serves recommend_batch without any model
+    # code or weight files — and drops into RecommenderService/HTTP:
+    #   art = export.export_top_k(model, params, k=10, num_exclude=256)
+    #   rec = ArtifactRecommender(load_artifact(path), dataloader)
+    #   rec.recommend_batch([["Toy Story (1995)", ...]])
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])

@@ -70,6 +70,68 @@ class TestTopKExport:
         assert path.stat().st_size > table_bytes
 
 
+class TestArtifactRecommender:
+
+    def test_matches_live_recommender_and_serves(self, model_and_params,
+                                                 tmp_path):
+        """Export with exclusion -> ArtifactRecommender equals the live
+        Recommender.recommend_batch, incl. through RecommenderService."""
+        from bert4rec_tpu.apps import (
+            ArtifactRecommender, Recommender, RecommenderService,
+        )
+        from bert4rec_tpu.dataloaders import BERT4RecDataloader
+
+        model, params = model_and_params
+        dataloader = BERT4RecDataloader(max_seq_len=S,
+                                        max_predictions_per_seq=P)
+        vocab = [f"movie {i}" for i in range(VOCAB - 3)]
+        dataloader.generate_vocab(vocab)
+
+        art = export.export_top_k(model, params, K, num_exclude=16)
+        path = tmp_path / "rec.jaxexport"
+        export.save_artifact(art, path)
+        served = ArtifactRecommender(export.load_artifact(path), dataloader)
+
+        live = Recommender(model, params, dataloader)
+        histories = [vocab[:4], vocab[4:9], vocab[9:11]]
+        got = served.recommend_batch(histories, top_k=K)
+        want = live.recommend_batch([list(h) for h in histories], top_k=K)
+        assert got == want
+        for h, recs in zip(histories, got):
+            assert all(r not in h for r in recs)
+
+        # drop-in backend for the serving service
+        service = RecommenderService(served, max_k=K, batch_capacity=4,
+                                     max_wait_ms=0)
+        try:
+            assert service.recommend(histories[0], k=K) == want[0]
+            assert service.recommend(histories[1], k=2) == want[1][:2]
+        finally:
+            service.close()
+
+    def test_requires_exclusion_input(self, model_and_params):
+        from bert4rec_tpu.apps import ArtifactRecommender
+        model, params = model_and_params
+        art = export.export_top_k(model, params, K)  # no num_exclude
+        with pytest.raises(ValueError, match="num_exclude"):
+            ArtifactRecommender(art, dataloader=None)
+
+    def test_oversize_history_and_k_raise(self, model_and_params):
+        from bert4rec_tpu.apps import ArtifactRecommender
+        from bert4rec_tpu.dataloaders import BERT4RecDataloader
+        model, params = model_and_params
+        dataloader = BERT4RecDataloader(max_seq_len=S,
+                                        max_predictions_per_seq=P)
+        vocab = [f"movie {i}" for i in range(VOCAB - 3)]
+        dataloader.generate_vocab(vocab)
+        art = export.export_top_k(model, params, K, num_exclude=4)
+        rec = ArtifactRecommender(art, dataloader)
+        with pytest.raises(ValueError, match="exclusion width"):
+            rec.recommend_batch([vocab[:6]])  # 6 seen + 3 specials > 4
+        with pytest.raises(ValueError, match="exported k"):
+            rec.recommend_batch([vocab[:1]], top_k=K + 1)
+
+
 class TestScoreCandidatesExport:
 
     def test_roundtrip_matches_model(self, model_and_params, tmp_path):
