@@ -18,6 +18,32 @@ import numpy as np
 from bert4rec_tpu.models.components.networks import Bert4RecEncoder
 
 
+def build_exclusion_rows(sequences, tokenizer, special_token_ids,
+                         width: Optional[int] = None) -> np.ndarray:
+    """``[B, W]`` int32 exclusion rows: each history's seen item ids + the
+    special ids, padded with -1 (the exclusion-bias pad value).
+
+    ``width=None`` pads W to a power of two (>= 8) so one compiled kernel
+    serves many request shapes; a fixed ``width`` (AOT artifacts) raises
+    when a row cannot fit."""
+    seen_lists = [np.asarray(tokenizer.tokenize(list(s)), dtype=np.int32)
+                  for s in sequences]
+    specials = np.asarray(list(special_token_ids), np.int32)
+    longest = max((len(s) for s in seen_lists), default=0) + len(specials)
+    if width is None:
+        width = max(8, 1 << (max(longest, 1) - 1).bit_length())
+    elif longest > width:
+        raise ValueError(
+            f"a history of {longest - len(specials)} items (+"
+            f"{len(specials)} specials) exceeds the exclusion width "
+            f"{width}; re-export with a larger num_exclude")
+    rows = np.full((len(sequences), width), -1, dtype=np.int32)
+    for i, seen in enumerate(seen_lists):
+        row = np.concatenate([seen, specials])
+        rows[i, :len(row)] = row
+    return rows
+
+
 class Recommender:
 
     def __init__(self, model, params, dataloader, mesh=None):
@@ -101,17 +127,8 @@ class Recommender:
             batch = {k: jnp.asarray(np.concatenate([d[k] for d in per_seq]))
                      for k in wanted}
 
-        specials = list(self.model.special_token_ids)
-        seen_lists = [np.asarray(tok.tokenize(list(s)), dtype=np.int32)
-                      for s in sequences]
-        width = max(len(s) for s in seen_lists) + len(specials)
-        # pad the exclusion width to a power of two: one compiled kernel
-        # serves many request shapes
-        width = max(8, 1 << (width - 1).bit_length())
-        exclude = np.full((len(sequences), width), -1, dtype=np.int32)
-        for i, seen in enumerate(seen_lists):
-            row = np.concatenate([seen, np.asarray(specials, np.int32)])
-            exclude[i, :len(row)] = row
+        exclude = build_exclusion_rows(sequences, tok,
+                                       self.model.special_token_ids)
 
         ids, _ = self._topk_fn(self.params, batch, jnp.asarray(exclude),
                                int(top_k))
@@ -144,33 +161,31 @@ class ArtifactRecommender:
         self.artifact = artifact
         self.dataloader = dataloader
         self.special_token_ids = list(special_token_ids)
-        self._num_exclude = int(artifact.in_avals[3].shape[1])
-        self._k = int(artifact.out_avals[0].shape[-1])
+        # introspected from the artifact signature; public so a serving
+        # layer can validate requests BEFORE they reach a shared batch
+        self.exclusion_width = int(artifact.in_avals[3].shape[1])
+        self.exported_k = int(artifact.out_avals[0].shape[-1])
+
+    @property
+    def max_history_items(self) -> int:
+        """Longest history this artifact can exclude."""
+        return self.exclusion_width - len(self.special_token_ids)
 
     def recommend_batch(self, sequences, top_k: Optional[int] = None):
         """Top-k next-item recommendations, ranked by the artifact.
 
         :param top_k: <= the exported k (defaults to it)
         """
-        k = self._k if top_k is None else int(top_k)
-        if k > self._k:
+        k = self.exported_k if top_k is None else int(top_k)
+        if k > self.exported_k:
             raise ValueError(f"top_k={k} exceeds the artifact's exported "
-                             f"k={self._k}")
+                             f"k={self.exported_k}")
         tok = self.dataloader.tokenizer
         feats = self.dataloader.prepare_inference_batch(
             [list(s) for s in sequences])
-
-        exclude = np.full((len(sequences), self._num_exclude), -1, np.int32)
-        specials = np.asarray(self.special_token_ids, np.int32)
-        for i, s in enumerate(sequences):
-            seen = np.asarray(tok.tokenize(list(s)), dtype=np.int32)
-            row = np.concatenate([seen, specials])
-            if len(row) > self._num_exclude:
-                raise ValueError(
-                    f"history of {len(seen)} items exceeds the artifact's "
-                    f"exclusion width {self._num_exclude}; re-export with "
-                    f"a larger num_exclude")
-            exclude[i, :len(row)] = row
+        exclude = build_exclusion_rows(sequences, tok,
+                                       self.special_token_ids,
+                                       width=self.exclusion_width)
 
         ids, _ = self.artifact.call(
             np.asarray(feats["input_word_ids"], np.int32),

@@ -89,13 +89,30 @@ class MicroBatcher:
         return fut
 
     def close(self, timeout: Optional[float] = 5.0) -> None:
-        """Stop accepting requests, flush the queue, join the worker."""
+        """Stop accepting requests, flush the queue, join the worker.
+
+        If the worker fails to join (a wedged handler — e.g. a hung device
+        dispatch), every still-queued future gets a RuntimeError instead of
+        leaving its caller blocked until its own result() timeout."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
         self._queue.put(_SHUTDOWN)
         self._worker.join(timeout=timeout)
+        if self._worker.is_alive():
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is _SHUTDOWN:
+                    continue
+                _, fut = item
+                if not fut.done():
+                    fut.set_exception(RuntimeError(
+                        "MicroBatcher shut down while the worker was "
+                        "wedged; request was never dispatched"))
 
     # ------------------------------------------------------------------ #
 
@@ -163,6 +180,13 @@ class RecommenderService:
                  batch_capacity: int = 32, max_wait_ms: float = 2.0):
         if max_k < 1:
             raise ValueError(f"max_k must be >= 1, got {max_k}")
+        # fail at construction, not per batch: an AOT-artifact backend has
+        # a baked-in k every dispatch uses
+        exported_k = getattr(recommender, "exported_k", None)
+        if exported_k is not None and max_k > exported_k:
+            raise ValueError(
+                f"max_k={max_k} exceeds the artifact backend's exported "
+                f"k={exported_k}; re-export with a larger k")
         self.recommender = recommender
         self.max_k = int(max_k)
         self.batch_capacity = int(batch_capacity)
@@ -180,11 +204,21 @@ class RecommenderService:
         return dict(self._batcher.stats)
 
     def submit(self, history: Sequence[str], k: int = 1) -> Future:
-        """Non-blocking: a Future resolving to a list of <= k items."""
+        """Non-blocking: a Future resolving to a list of <= k items.
+
+        Everything decidable per request is validated HERE: an invalid
+        request must fail its own caller, never the innocent requests it
+        would be coalesced with in the shared batch handler."""
         if not 1 <= k <= self.max_k:
             raise ValueError(f"k must be in [1, {self.max_k}], got {k}")
         if not history:
             raise ValueError("history must contain at least one item")
+        limit = getattr(self.recommender, "max_history_items", None)
+        if limit is not None and len(history) > limit:
+            raise ValueError(
+                f"history of {len(history)} items exceeds the artifact "
+                f"backend's exclusion capacity of {limit}; re-export with "
+                f"a larger num_exclude")
         return self._batcher.submit((list(history), int(k)))
 
     def recommend(self, history: Sequence[str], k: int = 1,
@@ -226,12 +260,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802 — http.server API
+        # ALWAYS drain the body first: on an HTTP/1.1 keep-alive
+        # connection, replying without reading Content-Length bytes leaves
+        # them in the socket to be parsed as the next request line,
+        # desynchronizing every subsequent request on the connection
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            length = 0
+        body = self.rfile.read(length)
         if self.path != "/v1/recommend":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            req = json.loads(body or b"{}")
             history = req.get("history")
             if not isinstance(history, list) or not history or \
                     not all(isinstance(x, str) for x in history):
@@ -286,9 +328,13 @@ class ServingServer:
         return self
 
     def stop(self, close_service: bool = True) -> None:
-        self._httpd.shutdown()
+        # shutdown() blocks on serve_forever()'s exit event — calling it
+        # when start() never ran would hang forever
+        if self._thread is not None:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+            self._thread = None
         if close_service:
             self.service.close()

@@ -56,4 +56,8 @@ class BaseEvaluator(abc.ABC):
             save_path.mkdir(parents=True, exist_ok=True)
             with open(out, "w") as f:
                 json.dump(self.get_metrics_results(), f, indent=2)
+        if jax.process_count() > 1:
+            # the returned path must exist for EVERY process (shared FS)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"save_results:{out}")
         return out

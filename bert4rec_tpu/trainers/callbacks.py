@@ -8,6 +8,21 @@ import pathlib
 import time
 
 
+_SNAPSHOT_FN = None
+
+
+def _snapshot_tree(tree):
+    """Deep copy of an array pytree in ONE jitted dispatch, preserving
+    shardings (jit outputs never alias non-donated inputs)."""
+    global _SNAPSHOT_FN
+    if _SNAPSHOT_FN is None:
+        import jax
+        import jax.numpy as jnp
+        _SNAPSHOT_FN = jax.jit(
+            lambda t: jax.tree.map(jnp.copy, t))
+    return _SNAPSHOT_FN(tree)
+
+
 class Callback:
     def on_train_begin(self, trainer): ...
     def on_epoch_end(self, trainer, epoch: int, logs: dict): ...
@@ -146,10 +161,10 @@ class EarlyStopping(Callback):
             if self.restore_best_weights:
                 # deep-copy: the train step donates its input state buffers
                 # (donate_argnums=0), so holding a reference would leave
-                # deleted arrays here after the next step on TPU
-                import jax
-                import jax.numpy as jnp
-                self.best_state = jax.tree.map(jnp.copy, trainer.state)
+                # deleted arrays here after the next step on TPU. One
+                # jitted tree-copy = one device dispatch (eager per-leaf
+                # copies cost ~ms each through a tunneled TPU).
+                self.best_state = _snapshot_tree(trainer.state)
         else:
             self.wait += 1
             if self.wait >= self.patience:

@@ -178,6 +178,42 @@ class TestServingServer:
         finally:
             conn.close()
 
+    def test_stop_without_start_does_not_hang(self, service_setup):
+        recommender, _ = service_setup
+        service = RecommenderService(recommender, max_k=2,
+                                     batch_capacity=2, max_wait_ms=0)
+        server = ServingServer(service, port=0)
+        server.stop()  # must return promptly, not block on shutdown()
+
+    def test_keepalive_connection_survives_404_with_body(self,
+                                                         service_setup):
+        """A 404 must drain the request body: on an HTTP/1.1 keep-alive
+        connection unread bytes would be parsed as the next request."""
+        recommender, vocab = service_setup
+        service = RecommenderService(recommender, max_k=3,
+                                     batch_capacity=2, max_wait_ms=0)
+        server = ServingServer(service, port=0).start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                              timeout=30)
+            try:
+                body = json.dumps({"history": vocab[:3], "k": 1})
+                conn.request("POST", "/v1/wrong-path", body=body,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                assert resp.status == 404
+                resp.read()
+                # SAME connection: the next request must parse cleanly
+                conn.request("POST", "/v1/recommend", body=body,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                out = json.loads(resp.read())
+                assert resp.status == 200 and len(out["items"]) == 1
+            finally:
+                conn.close()
+        finally:
+            server.stop()
+
     def test_http_roundtrip_health_and_errors(self, service_setup):
         recommender, vocab = service_setup
         service = RecommenderService(recommender, max_k=4,

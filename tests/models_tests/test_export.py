@@ -116,6 +116,33 @@ class TestArtifactRecommender:
         with pytest.raises(ValueError, match="num_exclude"):
             ArtifactRecommender(art, dataloader=None)
 
+    def test_service_validates_per_request_not_per_batch(
+            self, model_and_params):
+        """Requests an artifact backend cannot serve must fail their OWN
+        caller at submit time — never poison a shared coalesced batch."""
+        from bert4rec_tpu.apps import ArtifactRecommender, RecommenderService
+        from bert4rec_tpu.dataloaders import BERT4RecDataloader
+        model, params = model_and_params
+        dataloader = BERT4RecDataloader(max_seq_len=S,
+                                        max_predictions_per_seq=P)
+        vocab = [f"movie {i}" for i in range(VOCAB - 3)]
+        dataloader.generate_vocab(vocab)
+        art = export.export_top_k(model, params, K, num_exclude=8)
+        backend = ArtifactRecommender(art, dataloader)
+
+        with pytest.raises(ValueError, match="exported"):
+            RecommenderService(backend, max_k=K + 1)
+
+        service = RecommenderService(backend, max_k=K, batch_capacity=4,
+                                     max_wait_ms=0)
+        try:
+            with pytest.raises(ValueError, match="exclusion capacity"):
+                service.submit(vocab[:7], k=1)   # 7 + 3 specials > 8
+            # valid requests keep working after the rejected one
+            assert len(service.recommend(vocab[:2], k=2)) == 2
+        finally:
+            service.close()
+
     def test_oversize_history_and_k_raise(self, model_and_params):
         from bert4rec_tpu.apps import ArtifactRecommender
         from bert4rec_tpu.dataloaders import BERT4RecDataloader

@@ -96,12 +96,16 @@ def main(argv=None):
 
     latencies = []
     lock = threading.Lock()
-    per_client = args.requests // args.clients
+    # distribute the remainder so every requested request is actually sent
+    base, rem = divmod(args.requests, args.clients)
+    counts = [base + (1 if i < rem else 0) for i in range(args.clients)]
+    if args.requests < 1:
+        raise SystemExit("--requests must be >= 1")
 
     def client(idx):
         mine = []
-        for r in range(per_client):
-            h = histories[(idx * per_client + r) % len(histories)]
+        for r in range(counts[idx]):
+            h = histories[(idx * max(base, 1) + r) % len(histories)]
             t0 = time.perf_counter()
             post(h)
             mine.append((time.perf_counter() - t0) * 1e3)
