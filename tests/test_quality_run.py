@@ -41,6 +41,23 @@ class TestQualityRunHarness:
         out = capsys.readouterr().out
         assert "not on disk" in out
 
+    def test_smoke_families(self, tmp_path):
+        """Both model families run the tiny smoke end to end and beat the
+        popularity floor (the harness asserts it internally)."""
+        import pytest
+        qr = load_harness()
+        for family in ("bert4rec", "sasrec"):
+            out = tmp_path / family
+            rc = qr.main(["--smoke", "--smoke-family", family,
+                          "--out", str(out)])
+            assert rc == 0
+            payload = json.loads((out / "eval_results.json").read_text())
+            assert payload["results"]["HR@10"] > 0.5
+            assert payload["results"]["HR@10"] > \
+                payload["results_popularity_floor"]["HR@10"]
+        with pytest.raises(SystemExit):
+            qr.build_argparser().parse_args(["--smoke-family", "nope"])
+
     def test_emit_schema(self, tmp_path):
         qr = load_harness()
         path = qr.emit(tmp_path, {

@@ -54,6 +54,11 @@ def build_argparser():
                         "(catalog 3706 / seq 200 / batch 256 / the "
                         "ml-1m_128 encoder with the TPU fused paths — "
                         "quality machinery proven at real scale on chip)")
+    p.add_argument("--smoke-family", default="bert4rec",
+                   choices=["bert4rec", "sasrec"],
+                   help="--smoke model family: masked-LM BERT4Rec or "
+                        "causal next-item SASRec (same harness, same "
+                        "protocol)")
     p.add_argument("--full-ranking", action="store_true",
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
@@ -181,13 +186,16 @@ def run_smoke(args):
         MaskingConfig, ProcessedDataset,
     )
     from bert4rec_tpu.evaluation import BERT4RecEvaluator
-    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+    from bert4rec_tpu.models import (
+        BERT4RecConfig, BERT4RecModel, SASRecModel,
+    )
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
     ps = _SMOKE_PRESETS[args.smoke_scale]
     n_items, seq = ps["n_items"], ps["seq"]
     vocab = n_items + 3
     on_tpu = jax.devices()[0].platform == "tpu"
+    sasrec = args.smoke_family == "sasrec"
 
     def markov(n, sd):
         r = np.random.default_rng(sd)
@@ -199,13 +207,17 @@ def run_smoke(args):
                         max_predictions_per_seq=ps["max_pred"],
                         mask_token_id=1, pad_token_id=0, unk_token_id=2,
                         masked_lm_rate=ps["mask_rate"])
-    train = ProcessedDataset(markov(ps["train_rows"], 0), cfg,
-                             lambda: vocab)
+    task = "next_item" if sasrec else "mlm"
+    n_train = ps["train_rows"]
+    train = ProcessedDataset(markov(n_train, 0), cfg, lambda: vocab,
+                             finetuning=np.zeros(n_train, bool), task=task)
     test_rows = markov(ps["test_rows"], 1)
     test = ProcessedDataset(test_rows, cfg, lambda: vocab,
-                            finetuning=np.ones(len(test_rows), bool))
+                            finetuning=np.ones(len(test_rows), bool),
+                            task=task)
 
-    model = BERT4RecModel(config=BERT4RecConfig(
+    model_cls = SASRecModel if sasrec else BERT4RecModel
+    model = model_cls(config=BERT4RecConfig(
         vocab_size=vocab, max_sequence_length=seq,
         max_predictions_per_seq=ps["max_pred"],
         use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
@@ -239,10 +251,14 @@ def run_smoke(args):
     assert results["HR@10"] > 0.5, f"smoke run failed to learn: {results}"
     assert results["HR@10"] > floor["HR@10"], \
         f"model does not beat the popularity floor: {results} vs {floor}"
-    out_default = ("quality_runs/smoke" if args.smoke_scale == "tiny"
-                   else f"quality_runs/smoke_{args.smoke_scale}")
+    out_default = "quality_runs/smoke"
+    if args.smoke_scale != "tiny":
+        out_default += f"_{args.smoke_scale}"
+    if sasrec:
+        out_default += "_sasrec"
     emit(args.out or out_default, {
-        "dataset": f"synthetic-markov (smoke, {args.smoke_scale})",
+        "dataset": f"synthetic-markov (smoke, {args.smoke_scale}, "
+                   f"{args.smoke_family})",
         "encoder_config": ("tiny" if args.smoke_scale == "tiny"
                            else "ml-1m_128-shaped"),
         "platform": jax.devices()[0].platform,
