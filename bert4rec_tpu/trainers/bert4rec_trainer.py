@@ -35,7 +35,8 @@ from bert4rec_tpu.utils.prefetch import prefetch
 class BERT4RecTrainer(BaseTrainer):
 
     def __init__(self, model, mesh: Optional["jax.sharding.Mesh"] = None,
-                 steps_per_call: int = 1, grad_accum_steps: int = 1):
+                 steps_per_call: int = 1, grad_accum_steps: int = 1,
+                 eval_steps_per_call: int = 1):
         """``steps_per_call``: train steps executed per device dispatch via
         ``lax.scan`` over a stacked ``[K, B, ...]`` super-batch — amortizes
         per-step dispatch/host overhead when the step itself is short
@@ -50,10 +51,19 @@ class BERT4RecTrainer(BaseTrainer):
         ``A * batch_size`` batch would produce (the masked losses are
         valid-position-weighted means). Trailing batches that don't fill a
         group of ``A`` are dropped, keeping every update at the same
-        effective batch. Mutually exclusive with ``steps_per_call``."""
+        effective batch. Mutually exclusive with ``steps_per_call``.
+
+        ``eval_steps_per_call``: like ``steps_per_call`` but for
+        ``validate()`` (stacked eval ``lax.scan``, math-identical).
+        Default 1 — measured on the tunneled v5e, K=4 REGRESSES validate
+        (338 vs 267 ms per 16 ml-1m batches): the stateless eval step's
+        dispatch overhead is smaller than the host cost of stacking, so
+        batching dispatches only pays where per-dispatch latency is
+        extreme. Kept as an explicit opt-in for such deployments."""
         super().__init__(model)
         self.mesh = mesh
         self.steps_per_call = max(1, int(steps_per_call))
+        self.eval_steps_per_call = max(1, int(eval_steps_per_call))
         self.grad_accum_steps = max(1, int(grad_accum_steps))
         if self.steps_per_call > 1 and self.grad_accum_steps > 1:
             raise ValueError(
@@ -181,6 +191,13 @@ class BERT4RecTrainer(BaseTrainer):
                         batch["masked_lm_ids"]),
                     "_n_total": jnp.float32(batch["masked_lm_ids"].size)}
 
+        def eval_multi(state, stacked):
+            """K eval steps in one dispatch (leaves [K, B, ...]); logs come
+            back stacked [K] — the validate-side analogue of multi_step."""
+            return jax.lax.scan(
+                lambda carry, batch: (carry, eval_step(state, batch)),
+                None, stacked)[1]
+
         def multi_step(state, stacked):
             """K sequential train steps in one dispatch (leaves [K, B, ...]);
             logs come back stacked [K]."""
@@ -237,6 +254,7 @@ class BERT4RecTrainer(BaseTrainer):
         self._train_multi_fn = jax.jit(multi_step, donate_argnums=0)
         self._train_accum_fn = jax.jit(accum_step, donate_argnums=0)
         self._eval_step_fn = jax.jit(eval_step)
+        self._eval_multi_fn = jax.jit(eval_multi)
 
     def _put_batch(self, batch: dict, stacked: bool = False) -> dict:
         """Device-place one batch (or, ``stacked``, a [K, B, ...] stack of
@@ -475,17 +493,49 @@ class BERT4RecTrainer(BaseTrainer):
     def validate(self, val_ds, batch_size: int = 256,
                  validation_steps: Optional[int] = None,
                  seed: int = 0) -> dict:
+        """Weighted metrics over the validation set. With
+        ``eval_steps_per_call=K`` full groups of K batches run as one
+        stacked ``lax.scan`` dispatch (identical math; the epoch tail
+        falls back to single-step calls). See __init__ for why the
+        default stays 1."""
         sums, wsums, count = {}, {}, 0
+        # validation_steps counts single batches exactly; keep that
+        # contract by not grouping when it is set
+        k_call = 1 if validation_steps else self.eval_steps_per_call
+
         def drop_weights(batch):
             batch.pop("example_weights", None)  # loss masks pad rows itself
-            return self._put_batch(batch)
+            return batch
 
-        for batch in prefetch(
-                val_ds.batches(batch_size, shuffle=False, seed=seed,
-                               pad_final_batch=True),
-                drop_weights, depth=2):
-            logs = self._eval_step_fn(self.state, batch)
-            count += 1
+        raw = map(drop_weights,
+                  val_ds.batches(batch_size, shuffle=False, seed=seed,
+                                 pad_final_batch=True))
+
+        if k_call > 1:
+            def grouped(it=raw, k=k_call):
+                buf = []
+                for b in it:
+                    buf.append(b)
+                    if len(buf) == k:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
+            def put(bufs):
+                if len(bufs) == k_call:
+                    return self._put_batch(
+                        {key: np.stack([b[key] for b in bufs])
+                         for key in bufs[0]}, stacked=True)
+                return [self._put_batch(b) for b in bufs]
+
+            batch_iter = prefetch(grouped(), put, depth=2)
+        else:
+            batch_iter = prefetch(raw, self._put_batch, depth=2)
+
+        def accumulate(logs, n):
+            nonlocal count
+            count += n
             w_valid = logs.pop("_n_valid")
             w_total = logs.pop("_n_total")
             for k, v in logs.items():
@@ -493,9 +543,18 @@ class BERT4RecTrainer(BaseTrainer):
                 # masked_lm_ids == 0 so they carry zero weight — this makes
                 # val_masked_accuracy (the checkpoint monitor) exact; the
                 # unmasked 'accuracy' weights by all positions instead
+                # ([K]-shaped logs from stacked dispatches reduce the same)
                 w = w_total if k == "accuracy" else w_valid
-                sums[k] = sums.get(k, 0.0) + v * w
-                wsums[k] = wsums.get(k, 0.0) + w
+                sums[k] = sums.get(k, 0.0) + jnp.sum(v * w)
+                wsums[k] = wsums.get(k, 0.0) + jnp.sum(w)
+
+        for item in batch_iter:
+            if isinstance(item, dict) and k_call > 1:
+                accumulate(self._eval_multi_fn(self.state, item), k_call)
+            else:
+                for batch in (item if isinstance(item, list) else [item]):
+                    accumulate(dict(self._eval_step_fn(self.state, batch)),
+                               1)
             if validation_steps and count >= validation_steps:
                 break
         return {k: float(v) / max(float(wsums[k]), 1.0)

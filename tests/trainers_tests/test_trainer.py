@@ -356,6 +356,29 @@ class TestMultiStepDispatch:
                                        rtol=1e-5, atol=1e-6)
         assert int(t1.state["step"]) == int(t4.state["step"]) == 12
 
+    def test_validate_multi_dispatch_identical(self):
+        """validate() under eval_steps_per_call=K (stacked eval lax.scan)
+        must produce exactly the single-step metrics — incl. a padded
+        final batch inside a partial group."""
+        model = make_model()
+        t1 = BERT4RecTrainer(model)
+        t1.initialize_model(rng=jax.random.key(3))
+        t3 = BERT4RecTrainer(model, eval_steps_per_call=3)
+        t3.initialize_model(rng=jax.random.key(3))
+        t3.state = t1.state  # same params, eval-only (no donation)
+        val = make_dataset(n=72, seed=5)  # 5 batches of 16 (last padded)
+        v1 = t1.validate(val, batch_size=16, seed=2)
+        v3 = t3.validate(val, batch_size=16, seed=2)
+        assert set(v1) == set(v3)
+        for k in v1:
+            np.testing.assert_allclose(v1[k], v3[k], rtol=1e-6, err_msg=k)
+        # validation_steps keeps its exact single-batch semantics
+        v1s = t1.validate(val, batch_size=16, seed=2, validation_steps=2)
+        v3s = t3.validate(val, batch_size=16, seed=2, validation_steps=2)
+        for k in v1s:
+            np.testing.assert_allclose(v1s[k], v3s[k], rtol=1e-6,
+                                       err_msg=k)
+
     def test_multi_step_on_mesh(self):
         from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
         mesh = create_mesh(MeshConfig(model_parallelism=2))
