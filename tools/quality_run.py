@@ -49,11 +49,12 @@ def build_argparser():
     p.add_argument("--smoke", action="store_true",
                    help="offline end-to-end self-test on synthetic data")
     p.add_argument("--smoke-scale", default="tiny",
-                   choices=["tiny", "ml1m"],
-                   help="--smoke size: 'tiny' (CPU, seconds) or 'ml1m' "
-                        "(catalog 3706 / seq 200 / batch 256 / the "
-                        "ml-1m_128 encoder with the TPU fused paths — "
-                        "quality machinery proven at real scale on chip)")
+                   choices=["tiny", "ml1m", "ml20m", "reddit"],
+                   help="--smoke size: 'tiny' (CPU, seconds), or the real "
+                        "catalog scales run on chip — 'ml1m' (3706 items),"
+                        " 'ml20m' (26.7k, vocab-tiled loss) or 'reddit' "
+                        "(335k items single-chip, table streamed in VMEM "
+                        "tiles)")
     p.add_argument("--smoke-family", default="bert4rec",
                    choices=["bert4rec", "sasrec"],
                    help="--smoke model family: masked-LM BERT4Rec or "
@@ -175,6 +176,30 @@ _SMOKE_PRESETS = {
                  lr=1e-3, sample_size=100, model=dict(
                      hidden_size=128, num_layers=2, num_attention_heads=4,
                      inner_dim=512)),
+    # ML-20M catalog: the vocab-tiled flash-softmax loss path inside the
+    # full quality loop (26.7k-wide tied softmax)
+    "ml20m": dict(n_items=26729, seq=200, max_pred=40, mask_rate=0.2,
+                  train_rows=8192, test_rows=1024, epochs=15,
+                  batch_size=256, lr=1e-3, sample_size=100, model=dict(
+                      hidden_size=128, num_layers=2, num_attention_heads=4,
+                      inner_dim=512)),
+    # Reddit catalog (335k items): single-chip training of the largest
+    # reference catalog — the tiled loss streams the 172 MB table; the
+    # XLA logits path cannot run here at all ([B*P, 335k] fp32 > HBM).
+    # Sequences cycle over a 4k active subset (600k training tokens can't
+    # memorize 335k distinct transitions) while the softmax/eval span the
+    # full catalog width. A softmax far wider than the active set has a
+    # long saddle at loss = ln(active): the model first learns "uniform
+    # over seen items", and breaking that symmetry needs enough masked
+    # observations per item (CPU ablation: escape scales with per-item
+    # counts and shrinks ~2x at initializer_range 0.1) — hence the high
+    # epoch count, the wider init, and the 4k active set.
+    "reddit": dict(n_items=335420, active_items=4096, seq=200, max_pred=40,
+                   mask_rate=0.2, train_rows=4096, test_rows=512,
+                   epochs=80, batch_size=256, lr=1e-3, sample_size=100,
+                   model=dict(hidden_size=128, num_layers=2,
+                              num_attention_heads=4, inner_dim=512,
+                              initializer_range=0.1)),
 }
 
 
@@ -197,10 +222,12 @@ def run_smoke(args):
     on_tpu = jax.devices()[0].platform == "tpu"
     sasrec = args.smoke_family == "sasrec"
 
+    active = ps.get("active_items", n_items)
+
     def markov(n, sd):
         r = np.random.default_rng(sd)
         return [((np.arange(int(r.integers(seq // 2, seq + 1)))
-                  + int(r.integers(0, n_items))) % n_items + 3)
+                  + int(r.integers(0, active))) % active + 3)
                 .astype(np.int32) for _ in range(n)]
 
     cfg = MaskingConfig(max_seq_len=seq,

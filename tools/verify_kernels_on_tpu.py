@@ -232,16 +232,18 @@ def verify_fused_layer():
     print("FUSED LAYER TPU CHECKS PASSED")
 
 
-def verify_tiled_loss():
+def verify_tiled_loss(vs=26732, v=26752):
     """Vocab-tiled flash-softmax loss vs XLA autodiff at ML-20M vocab
     scale (the tiling path the small CPU tests exercise only in
-    interpret mode)."""
+    interpret mode). Called a second time at the Reddit width (335k,
+    328 vocab tiles) — the online-softmax merge chain is ~12x longer
+    there and deserves its own hardware check."""
     import jax.numpy as jnp
     from bert4rec_tpu.ops.fused_mlm_loss import fused_mlm_loss_tiled
     from bert4rec_tpu.trainers import trainer_utils
 
     rng = np.random.default_rng(0)
-    rows, w, v, vs = 300, 128, 26752, 26732
+    rows, w = 300, 128
     hidden = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
     table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32) * 0.05)
     bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
@@ -272,10 +274,11 @@ def verify_tiled_loss():
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         print(f"tiled loss grad d{name} rel err {rel:.2e}")
         assert rel < 5e-3, name
-    print("TILED LOSS TPU CHECKS PASSED")
+    print(f"TILED LOSS TPU CHECKS PASSED (vocab {vs})")
 
 
 if __name__ == "__main__":
     main()
     verify_fused_layer()
     verify_tiled_loss()
+    verify_tiled_loss(vs=335423, v=335423 + ((-335423) % 1024))
