@@ -13,7 +13,8 @@ Stages (each a subprocess with a hard deadline):
 4. quality smokes    — both model families, tiny scale (CPU-forced)
 5. TPU perf guard    — ``perf_guard.py --numerics`` (budgets + kernel
                        numerics on the real chip)
-6. TPU quality smoke — ``quality_run.py --smoke --smoke-scale ml1m``
+6. TPU quality smokes — ``quality_run.py --smoke --smoke-scale ml1m``
+                       and ``ml20m`` (whole-table + vocab-tiled loss paths)
 
 TPU stages run strictly serially with cool-downs between processes; a
 stage that prints nothing until its deadline is treated as a wedged
@@ -102,10 +103,13 @@ def main(argv=None):
     if not args.cpu_only:
         stage("tpu-perf-guard",
               [PY, "tools/perf_guard.py", "--numerics"], 580, tpu=True)
-        stage("tpu-quality-ml1m-scale",
-              [PY, "tools/quality_run.py", "--smoke",
-               "--smoke-scale", "ml1m", "--out",
-               "/tmp/release_q_ml1m"], 580, tpu=True)
+        # ml1m covers the whole-table-in-VMEM fused loss; ml20m covers the
+        # vocab-tiled flash-softmax loss inside the same quality loop
+        for scale in ("ml1m", "ml20m"):
+            stage(f"tpu-quality-{scale}-scale",
+                  [PY, "tools/quality_run.py", "--smoke",
+                   "--smoke-scale", scale, "--out",
+                   f"/tmp/release_q_{scale}"], 580, tpu=True)
 
     ok = all(r["ok"] for r in results.values())
     print(json.dumps({"release_check": "PASS" if ok else "FAIL",
