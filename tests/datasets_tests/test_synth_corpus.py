@@ -43,6 +43,19 @@ def test_parses_through_the_real_extractor(corpus, monkeypatch):
     assert len(g) >= 20
 
 
+def test_beauty_pair_corpus(tmp_path, monkeypatch):
+    from bert4rec_tpu.datasets import Beauty
+    path = synth_corpus.make_beauty(tmp_path, seed=0)
+    assert dataset_utils.check_availability_via_download_size(
+        path, synth_corpus.BEAUTY_TARGET_BYTES)
+    monkeypatch.setattr(Beauty, "dest", path)
+    monkeypatch.setattr(Beauty, "load_n_records", 20_000)
+    df = Beauty.extract_data()
+    assert list(df.columns) == ["user_id", "item_id"]
+    assert df["item_id"].str.startswith("B").all()
+    assert df["user_id"].is_monotonic_increasing
+
+
 def test_interactions_follow_the_global_permutation(corpus):
     import numpy as np
     lines = (corpus / "ratings.dat").read_text().splitlines()

@@ -35,6 +35,20 @@ sys.path.insert(0, str(REPO))
 
 ML1M_N_MOVIES = 3706            # golden distinct-movie count
 ML1M_TARGET_BYTES = 24905384    # datasets/ml_1m.py download_size
+BEAUTY_TARGET_BYTES = 3912093   # datasets/beauty.py download_size
+BEAUTY_N_ITEMS = 4096           # synthetic choice: the real catalog is
+                                # 54.5k items at ~6 observations each —
+                                # far too sparse for a short synthetic
+                                # learning run; a denser catalog keeps the
+                                # artifact's HR meaningful (the pipeline
+                                # derives the vocab from the data either
+                                # way)
+STEAM_TARGET_BYTES = 38226650   # datasets/steam.py download_size
+STEAM_N_ITEMS = 13044           # golden distinct-item count
+ML20M_N_MOVIES = 26729          # golden distinct-movie count
+ML20M_TARGET_BYTES = 875588784  # datasets/ml_20m.py download_size (whole
+                                # dir; the real download's bulk is genome
+                                # files the extractor never reads)
 
 
 def make_ml1m(home: pathlib.Path, seed: int = 0):
@@ -90,15 +104,120 @@ def make_ml1m(home: pathlib.Path, seed: int = 0):
     return dest
 
 
+def _pair_file(dest: pathlib.Path, target_bytes: int, n_items: int,
+               rng, item_fmt, seq_lo=15, seq_hi=60):
+    """Write a FeiSun-style ``user item`` pair file of exactly-checked
+    size: users walk a global permutation from random starts (the same
+    learnable next-item rule as ML-1M). Item ids are strings, as in the
+    real files (reference beauty.py:43-48)."""
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    perm = rng.permutation(n_items)
+    parts, nbytes, uid = [], 0, 0
+    while nbytes < target_bytes:
+        uid += 1
+        n = int(rng.integers(seq_lo, seq_hi + 1))
+        start = int(rng.integers(0, n_items))
+        items = perm[(start + np.arange(n)) % n_items]
+        blob = ("".join(f"{uid} {item_fmt(int(s))}\n" for s in items)
+                ).encode()
+        parts.append(blob)
+        nbytes += len(blob)
+    overshoot = nbytes - target_bytes
+    if overshoot > 0:
+        last = parts[-1].decode().splitlines(keepends=True)
+        while last and overshoot > 0:
+            overshoot -= len(last.pop())
+        parts[-1] = "".join(last).encode()
+    with open(dest, "wb") as f:
+        for blob in parts:
+            f.write(blob)
+    assert abs(dest.stat().st_size - target_bytes) <= 0.02 * target_bytes
+    print(f"pair corpus: {dest} ({uid} users, {dest.stat().st_size} bytes "
+          f"vs expected {target_bytes})")
+    return dest
+
+
+def make_beauty(home: pathlib.Path, seed: int = 0):
+    rng = np.random.default_rng(seed + 1)
+    return _pair_file(
+        home / "data" / "beauty" / "ratings_beauty_tokenized.txt",
+        BEAUTY_TARGET_BYTES, BEAUTY_N_ITEMS, rng,
+        lambda s: f"B{s:09d}")
+
+
+def make_steam(home: pathlib.Path, seed: int = 0):
+    rng = np.random.default_rng(seed + 2)
+    return _pair_file(
+        home / "data" / "steam" / "ratings_steam_tokenized.txt",
+        STEAM_TARGET_BYTES, STEAM_N_ITEMS, rng,
+        lambda s: str(10000 + s))
+
+
+def make_ml20m(home: pathlib.Path, seed: int = 0):
+    """ratings.csv + movies.csv (headers, comma-separated) + one filler
+    genome file so the whole-directory byte-size check passes — the real
+    download's bulk is genome files the extractor never opens."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed + 3)
+    dest = home / "data" / "ml-20m"
+    dest.mkdir(parents=True, exist_ok=True)
+
+    movies = pd.DataFrame({
+        "movieId": np.arange(1, ML20M_N_MOVIES + 1),
+        "title": [f"Synthetic Feature No. {i:05d} ({1920 + i % 100})"
+                  for i in range(1, ML20M_N_MOVIES + 1)],
+        "genres": ["Drama|Comedy" if i % 2 else "Action"
+                   for i in range(1, ML20M_N_MOVIES + 1)],
+    })
+    movies.to_csv(dest / "movies.csv", index=False)
+
+    perm = rng.permutation(ML20M_N_MOVIES) + 1
+    n_users = 130_000
+    lengths = np.clip(rng.lognormal(4.8, 0.7, n_users), 20, 800).astype(int)
+    uid = np.repeat(np.arange(1, n_users + 1), lengths)
+    starts = rng.integers(0, ML20M_N_MOVIES, n_users)
+    offsets = np.concatenate([np.arange(n) for n in lengths])
+    sid = perm[(np.repeat(starts, lengths) + offsets) % ML20M_N_MOVIES]
+    t0 = np.repeat(rng.integers(9.6e8, 1.0e9, n_users), lengths)
+    ratings = pd.DataFrame({
+        "userId": uid, "movieId": sid,
+        "rating": ((sid + offsets) % 9 + 2) / 2.0,
+        "timestamp": t0 + offsets * 60,
+    })
+    ratings.to_csv(dest / "ratings.csv", index=False)
+
+    used = sum(p.stat().st_size for p in dest.iterdir())
+    filler = ML20M_TARGET_BYTES - used
+    assert filler > 0, used
+    with open(dest / "genome-scores.csv", "wb") as f:
+        f.write(b"movieId,tagId,relevance\n")
+        chunk = b"1,1,0.5000\n" * 65536
+        remaining = filler - 24
+        while remaining > 0:
+            f.write(chunk[:remaining])
+            remaining -= len(chunk)
+    total = sum(p.stat().st_size for p in dest.iterdir())
+    assert abs(total - ML20M_TARGET_BYTES) <= 0.02 * ML20M_TARGET_BYTES
+    print(f"ml-20m synthetic corpus: {dest} ({n_users} users, "
+          f"{len(ratings)} ratings, {total} bytes vs expected "
+          f"{ML20M_TARGET_BYTES})")
+    return dest
+
+
+_MAKERS = {"ml_1m": make_ml1m, "ml_20m": make_ml20m,
+           "beauty": make_beauty, "steam": make_steam}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--dataset", default="ml_1m", choices=["ml_1m"])
+    p.add_argument("--dataset", default="ml_1m", choices=sorted(_MAKERS))
     p.add_argument("--home", required=True,
                    help="BERT4REC_TPU_HOME to populate (data goes to "
                         "<home>/data/<dataset>)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    make_ml1m(pathlib.Path(args.home), args.seed)
+    _MAKERS[args.dataset](pathlib.Path(args.home), args.seed)
     return 0
 
 
