@@ -56,6 +56,21 @@ def test_beauty_pair_corpus(tmp_path, monkeypatch):
     assert df["user_id"].is_monotonic_increasing
 
 
+def test_reddit_zst_corpus(tmp_path, monkeypatch):
+    pytest.importorskip("zstandard")
+    from bert4rec_tpu.datasets import Reddit
+    monkeypatch.setattr(synth_corpus, "REDDIT_N_AUTHORS", 200)
+    monkeypatch.setattr(synth_corpus, "REDDIT_N_ITEMS", 128)
+    path = synth_corpus.make_reddit(tmp_path, seed=0)
+    monkeypatch.setattr(Reddit, "dest", path)
+    df = Reddit.extract_data()
+    assert {"author", "parent_id", "created_utc"} <= set(df.columns)
+    filtered = Reddit.filter_data(df)
+    # the generator promises every author/item clears the >=3 filters
+    assert len(filtered) == len(df)
+    assert filtered["parent_id"].nunique() == 128
+
+
 def test_interactions_follow_the_global_permutation(corpus):
     import numpy as np
     lines = (corpus / "ratings.dat").read_text().splitlines()

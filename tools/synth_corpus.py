@@ -205,8 +205,47 @@ def make_ml20m(home: pathlib.Path, seed: int = 0):
     return dest
 
 
+REDDIT_N_ITEMS = 4096           # synthetic choice (density; the real
+                                # dump's 335k-item width is covered by the
+                                # --smoke-scale reddit on-chip artifact)
+REDDIT_N_AUTHORS = 20_000
+
+
+def make_reddit(home: pathlib.Path, seed: int = 0):
+    """zstd-compressed pushshift-style JSON-lines comment dump
+    (availability gate is file existence; reference reddit.py:49-80).
+    Authors comment on threads following the global permutation rule;
+    every author/item clears the >=3-occurrence filters."""
+    import json as _json
+    import zstandard as zstd
+
+    rng = np.random.default_rng(seed + 4)
+    dest = home / "data" / "reddit" / "comments" / "RC_2011-01.zst"
+    dest.parent.mkdir(parents=True, exist_ok=True)
+
+    perm = rng.permutation(REDDIT_N_ITEMS)
+    rows = []
+    for a in range(REDDIT_N_AUTHORS):
+        n = int(rng.integers(40, 81))
+        start = int(rng.integers(0, REDDIT_N_ITEMS))
+        items = perm[(start + np.arange(n)) % REDDIT_N_ITEMS]
+        t0 = int(rng.integers(1.29e9, 1.30e9))
+        rows.extend(
+            {"author": f"user_{a:06d}", "parent_id": f"t3_{int(s):06x}",
+             "created_utc": t0 + i * 300, "subreddit": "synthetic"}
+            for i, s in enumerate(items))
+    rng.shuffle(rows)  # dumps are time-interleaved, not author-grouped
+    blob = "\n".join(_json.dumps(r) for r in rows).encode() + b"\n"
+    with open(dest, "wb") as f:
+        f.write(zstd.ZstdCompressor(level=3).compress(blob))
+    print(f"reddit synthetic corpus: {dest} ({REDDIT_N_AUTHORS} authors, "
+          f"{len(rows)} comments, {dest.stat().st_size} bytes compressed)")
+    return dest
+
+
 _MAKERS = {"ml_1m": make_ml1m, "ml_20m": make_ml20m,
-           "beauty": make_beauty, "steam": make_steam}
+           "beauty": make_beauty, "steam": make_steam,
+           "reddit": make_reddit}
 
 
 def main(argv=None):
