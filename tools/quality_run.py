@@ -39,9 +39,10 @@ def build_argparser():
                    help="encoder config name (config/bert4rec_train_configs)")
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--dup", type=int, default=10,
-                   help="input duplication factor (reference quality runs "
-                        "use 10)")
+    p.add_argument("--dup", type=int, default=None,
+                   help="input duplication factor; default = the "
+                        "dataset's own reference default (ML-1M 10, "
+                        "ML-20M 5, Beauty 5, Steam 3, Reddit 2)")
     p.add_argument("--finetuning-split", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default=None,
@@ -90,8 +91,10 @@ def run_real(args):
     from bert4rec_tpu.trainers.callbacks import EarlyStopping
 
     factory = get_dataloader_factory("bert4rec")
+    dl_kwargs = ({} if args.dup is None
+                 else {"input_duplication_factor": args.dup})
     dataloader = getattr(factory, f"create_{args.dataset}_dataloader")(
-        input_duplication_factor=args.dup)
+        **dl_kwargs)
     if not dataloader.data_source.is_available():
         print(json.dumps({
             "error": f"dataset {args.dataset} not on disk and this "
@@ -146,7 +149,7 @@ def run_real(args):
             "lr": 1e-4, "num_train_steps": 400_000, "warmup_steps": 100,
             "weight_decay": 0.01, "clip_norm": 5.0,
             "batch_size": args.batch_size,
-            "input_duplication_factor": args.dup,
+            "input_duplication_factor": dataloader.input_duplication_factor,
             "finetuning_split": args.finetuning_split,
             "epochs": args.epochs, "seed": args.seed,
         },
