@@ -26,7 +26,9 @@ class TestQualityRunHarness:
         assert args.dataset == "ml_1m"
         assert args.config == "ml-1m_128"
         assert args.batch_size == 256
-        assert args.dup == 10
+        # None = defer to each dataset's reference duplication factor
+        # (ML-1M's own default is the reference example's 10)
+        assert args.dup is None
         assert args.finetuning_split == 0.1
         assert args.epochs == 150
 
