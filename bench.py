@@ -179,8 +179,9 @@ def main():
                 f"occasionally wedges at claim time)\n")
         if device_result is not None:
             if (device_result[0] == "tpu"
-                    and device_result[1] < PLAUSIBLE_TPU_FLOOR
-                    and attempt < DEVICE_ATTEMPTS - 1):
+                    and device_result[1] < PLAUSIBLE_TPU_FLOOR):
+                # always re-measure once — the drift retry is its own
+                # extra attempt, even when the wedge retries are used up
                 sys.stderr.write(
                     f"[bench] {device_result[1]:.0f} examples/s is below "
                     f"the {PLAUSIBLE_TPU_FLOOR} plausibility floor "

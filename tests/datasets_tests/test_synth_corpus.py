@@ -2,17 +2,19 @@
 from the real dataset to the pipeline (availability byte-size check,
 exact file formats, learnable next-item structure)."""
 
-import sys
+import importlib.util
 import pathlib
 
 import pytest
 
+from bert4rec_tpu.datasets import ML1M, dataset_utils
+
 REPO = pathlib.Path(__file__).resolve().parent.parent.parent
-sys.path.insert(0, str(REPO / "tools"))
-
-import synth_corpus  # noqa: E402
-
-from bert4rec_tpu.datasets import ML1M, dataset_utils  # noqa: E402
+# load by path (no sys.path side effects on the rest of the session)
+_spec = importlib.util.spec_from_file_location(
+    "synth_corpus", REPO / "tools" / "synth_corpus.py")
+synth_corpus = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(synth_corpus)
 
 
 @pytest.fixture(scope="module")

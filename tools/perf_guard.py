@@ -176,7 +176,7 @@ def main(argv=None):
         vk.main()
         vk.verify_fused_layer()
         vk.verify_tiled_loss()
-        vk.verify_tiled_loss(vs=335423, v=335423 + ((-335423) % 1024))
+        vk.verify_tiled_loss_reddit()
         print("[perf_guard] kernel numerics OK")
 
     if failures:

@@ -232,6 +232,16 @@ def verify_fused_layer():
     print("FUSED LAYER TPU CHECKS PASSED")
 
 
+# the Reddit catalog width (335,420 items + 3 specials, tools/quality_run
+# reddit preset) padded to the tiled kernel's 1024-wide vocab blocks
+REDDIT_VOCAB = 335423
+REDDIT_VOCAB_PADDED = REDDIT_VOCAB + ((-REDDIT_VOCAB) % 1024)
+
+
+def verify_tiled_loss_reddit():
+    verify_tiled_loss(vs=REDDIT_VOCAB, v=REDDIT_VOCAB_PADDED)
+
+
 def verify_tiled_loss(vs=26732, v=26752):
     """Vocab-tiled flash-softmax loss vs XLA autodiff at ML-20M vocab
     scale (the tiling path the small CPU tests exercise only in
@@ -281,4 +291,4 @@ if __name__ == "__main__":
     main()
     verify_fused_layer()
     verify_tiled_loss()
-    verify_tiled_loss(vs=335423, v=335423 + ((-335423) % 1024))
+    verify_tiled_loss_reddit()
