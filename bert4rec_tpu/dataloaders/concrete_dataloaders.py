@@ -19,6 +19,8 @@ Reddit     200      40        0.2    2    3        created_utc author    parent_
 
 from typing import Optional, Union
 
+import pandas as pd
+
 from bert4rec_tpu import datasets, tokenizers
 from bert4rec_tpu.dataloaders import preprocessors
 from bert4rec_tpu.dataloaders.bert4rec_dataloader import BERT4RecDataloader
@@ -99,14 +101,16 @@ class _ConcreteBERT4RecDataloader(BERT4RecDataloader):
 
     def generate_vocab(self, source=None, progress_bar: bool = True) -> bool:
         if source is None:
-            df = self.data_source.load_data()
+            df = self._source_df()
             # first-seen order (deterministic), unlike the reference's
-            # arbitrary set() order — only size parity is contractual
-            source = list(dict.fromkeys(df[self._EXTRACT]))
+            # arbitrary set() order — only size parity is contractual;
+            # pd.unique is order-preserving at C speed (dict.fromkeys over
+            # 20M strings cost ~30 s at ML-20M scale)
+            source = pd.unique(df[self._EXTRACT]).tolist()
         return super().generate_vocab(source, progress_bar)
 
     def create_item_list(self) -> list:
-        df = self.data_source.load_data()
+        df = self._source_df()
         return df[self._EXTRACT].to_list()
 
 

@@ -27,6 +27,27 @@ def rank_items_by_popularity(items: list) -> list:
     return list(dict.fromkeys(sorted_items))
 
 
+def group_sequences(df: pd.DataFrame, group_column_name: str,
+                    extract_columns: list) -> dict:
+    """Per-group value sequences, vectorized.
+
+    Semantics are identical to ``groupby(sort=True)[col].agg(list)`` —
+    groups ordered by key, rows keeping their df order within a group —
+    but via factorize + stable argsort + split (C speed) instead of
+    pandas' pure-python list aggregation, which dominated ML-20M-scale
+    data prep (~70 s of a 210 s ``prepare_training``).
+
+    :returns: ``{col: [np.ndarray per group, ...]}``
+    """
+    if len(df) == 0:
+        return {c: [] for c in extract_columns}
+    codes, _ = pd.factorize(df[group_column_name], sort=True)
+    order = np.argsort(codes, kind="stable")
+    boundaries = np.cumsum(np.bincount(codes))[:-1]
+    return {c: np.split(df[c].to_numpy()[order], boundaries)
+            for c in extract_columns}
+
+
 def make_sequence_df(df: pd.DataFrame,
                      group_column_name: str,
                      extract_sequences: list,
@@ -36,10 +57,7 @@ def make_sequence_df(df: pd.DataFrame,
     Groups whose first extracted column is shorter than ``min_sequence_length``
     are dropped entirely.
     """
-    grouped = df.groupby(group_column_name, sort=True)
-    data = {}
-    for col in extract_sequences:
-        data[col] = grouped[col].agg(list)
+    data = group_sequences(df, group_column_name, extract_sequences)
     seq_df = pd.DataFrame(data).reset_index(drop=True)
     if min_sequence_length > 0:
         keep = seq_df[extract_sequences[0]].map(len) >= min_sequence_length
@@ -68,10 +86,9 @@ def split_sequence_df(df: pd.DataFrame,
                 f"Column key {col} of the extract_columns argument is not "
                 f"present in columns in dataframe: {df.columns}")
 
-    grouped = df.groupby(group_by_column, sort=True)
-    cols = {c: grouped[c].agg(list) for c in extract_columns}
-    lengths = cols[extract_columns[0]].map(len)
-    long_enough = lengths >= min_sequence_length
+    cols = group_sequences(df, group_by_column, extract_columns)
+    long_enough = [len(s) >= min_sequence_length
+                   for s in cols[extract_columns[0]]]
 
     train, val, test = {}, {}, {}
     for c in extract_columns:

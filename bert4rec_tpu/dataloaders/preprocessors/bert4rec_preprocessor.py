@@ -85,13 +85,35 @@ class BERT4RecPreprocessor(BasePreprocessor):
         )
 
     def _tokenize_sequences(self, ds) -> List[np.ndarray]:
-        out = []
-        for seq in ds:
-            if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
-                out.append(seq.astype(np.int32))
+        """Tokenize every sequence in ONE vectorized pass: the string
+        sequences are flattened, tokenized together (unique-then-map in
+        the tokenizer), and split back — per-element python tokenize
+        calls dominated ML-20M-scale prep before (~140M calls)."""
+        seqs = list(ds)
+        out: List = [None] * len(seqs)
+        to_tok, idxs = [], []
+        # input duplication (SequenceDataset.repeat) shares the underlying
+        # sequence objects — tokenize each distinct object once
+        first_seen: dict = {}
+        dup_of = []
+        for i, seq in enumerate(seqs):
+            if isinstance(seq, np.ndarray) and np.issubdtype(
+                    seq.dtype, np.integer):
+                out[i] = seq.astype(np.int32)
+            elif id(seq) in first_seen:
+                dup_of.append((i, first_seen[id(seq)]))
             else:
-                out.append(np.asarray(self.tokenizer.tokenize(list(seq)),
-                                      dtype=np.int32))
+                first_seen[id(seq)] = i
+                to_tok.append(np.asarray(list(seq), dtype=object))
+                idxs.append(i)
+        if to_tok:
+            flat = np.concatenate(to_tok)
+            ids = np.asarray(self.tokenizer.tokenize(flat), dtype=np.int32)
+            offsets = np.cumsum([len(a) for a in to_tok])[:-1]
+            for i, part in zip(idxs, np.split(ids, offsets)):
+                out[i] = part
+        for i, src in dup_of:
+            out[i] = out[src]
         return out
 
     def process_dataset(self, ds, apply_mlm: bool, finetuning: bool) -> ProcessedDataset:

@@ -107,3 +107,23 @@ def download_and_unpack_to_folder(url: str,
                     target.unlink()
             shutil.move(str(item), str(target))
     return dest_dir
+
+
+def join_movies(ratings, movies):
+    """Inner-join movie metadata onto ratings by ``sid`` via dict maps.
+
+    Same result as ``pd.merge(ratings, movies)`` on these frames (unique
+    ``sid`` per movie), but hash-map column lookups instead of full merge
+    machinery — several times faster at ML-20M scale (20M rows).
+    """
+    m = movies.set_index("sid")
+    out = ratings.copy(deep=False)
+    for col in movies.columns:
+        if col == "sid":
+            continue
+        out[col] = ratings["sid"].map(m[col])
+    # inner-join semantics: drop ratings whose sid has no movie row
+    first = movies.columns[1]
+    if out[first].isna().any():
+        out = out.dropna(subset=[first]).reset_index(drop=True)
+    return out

@@ -37,4 +37,4 @@ class ML1M(BaseDataset):
             cls.dest / "movies.dat", sep="::", header=None, engine="python",
             encoding="iso-8859-1", nrows=cls.load_n_records)
         movies.columns = ["sid", "movie_name", "categories"]
-        return pd.merge(ratings, movies)
+        return dataset_utils.join_movies(ratings, movies)

@@ -32,4 +32,4 @@ class ML20M(BaseDataset):
         ratings.columns = ["uid", "sid", "rating", "timestamp"]
         movies = pd.read_csv(cls.dest / "movies.csv", nrows=cls.load_n_records)
         movies.columns = ["sid", "movie_name", "categories"]
-        return pd.merge(ratings, movies)
+        return dataset_utils.join_movies(ratings, movies)

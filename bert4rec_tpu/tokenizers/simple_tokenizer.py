@@ -62,7 +62,17 @@ class SimpleTokenizer(BaseTokenizer):
         if isinstance(input, np.ndarray):
             return self._tokenize_array(input)
         if pd is not None and isinstance(input, pd.Series):
+            if pd.api.types.infer_dtype(input, skipna=False) in (
+                    "string", "bytes"):
+                return pd.Series(self._tokenize_array(
+                    input.to_numpy(dtype=object)), index=input.index)
             return input.map(self.tokenize)
+        if isinstance(input, (list, tuple)) and input and all(
+                isinstance(v, (str, bytes)) for v in input):
+            # flat string sequences (the per-user item lists, item-list
+            # sources) take the vectorized unique-then-map path
+            return self._tokenize_array(
+                np.asarray(input, dtype=object)).tolist()
         if isinstance(input, Iterable):
             return [self.tokenize(v) for v in input]
         raise ValueError(
@@ -83,8 +93,23 @@ class SimpleTokenizer(BaseTokenizer):
         return token
 
     def _tokenize_array(self, arr: np.ndarray):
-        flat = [self.tokenize(v) for v in arr.reshape(-1).tolist()]
-        return np.array(flat, dtype=np.int32).reshape(arr.shape)
+        """Vectorized: tokenize each UNIQUE value once (new ids assigned in
+        first-occurrence order, identical to the sequential scan), then map
+        the whole array through the unique ids. Turns the O(elements)
+        python loop into O(uniques) — the 20M-interaction ML-20M corpus
+        has 26.7k uniques. ``pd.factorize`` (hash-based, first-seen order,
+        C speed) rather than ``np.unique`` (sort-based: python-level
+        compares on object arrays)."""
+        flat = arr.reshape(-1)
+        if flat.size == 0:
+            return np.zeros(arr.shape, dtype=np.int32)
+        if pd is None:  # pragma: no cover - pandas is a baked-in dep
+            ids = [self.tokenize(v) for v in flat.tolist()]
+            return np.array(ids, dtype=np.int32).reshape(arr.shape)
+        codes, uniques = pd.factorize(flat)
+        ids = np.asarray([self.tokenize(v) for v in uniques],
+                         dtype=np.int32)
+        return ids[codes].reshape(arr.shape)
 
     # ------------------------------------------------------------------ #
     # detokenize

@@ -22,7 +22,9 @@ def test_make_sequence_df():
     df = pd.DataFrame({"user": [1, 1, 2, 2, 2], "item": list("abcde")})
     seq_df = utils.make_sequence_df(df, "user", ["item"])
     assert len(seq_df) == 2
-    assert seq_df["item"].tolist() == [["a", "b"], ["c", "d", "e"]]
+    # cells are numpy arrays (vectorized grouping); values are what counts
+    assert [list(s) for s in seq_df["item"]] == [["a", "b"],
+                                                 ["c", "d", "e"]]
 
 
 def test_make_sequence_df_min_length():
@@ -39,11 +41,11 @@ def test_split_sequence_df_loo_protocol():
     train, val, test = utils.split_sequence_df(df, "user", ["item"],
                                                min_sequence_length=5)
     # user 1: long enough -> LOO split
-    assert train["item"][0] == list("abcd")
-    assert val["item"][0] == list("abcde")
-    assert test["item"][0] == list("abcdef")
+    assert list(train["item"][0]) == list("abcd")
+    assert list(val["item"][0]) == list("abcde")
+    assert list(test["item"][0]) == list("abcdef")
     # user 2: too short -> whole sequence in train only
-    assert train["item"][1] == list("xyz")
+    assert list(train["item"][1]) == list("xyz")
     assert len(val) == 1 and len(test) == 1
 
 

@@ -87,3 +87,20 @@ def test_interactions_follow_the_global_permutation(corpus):
     assert overlaps, "users should overlap on the shared permutation"
     assert all(succ[a] == b for a, b in overlaps)
     assert np.all(np.asarray(sids) >= 1)
+
+
+def test_join_movies_matches_pd_merge():
+    import pandas as pd
+    ratings = pd.DataFrame({
+        "uid": [1, 1, 2, 3], "sid": [10, 20, 10, 99],
+        "rating": [5, 3, 4, 1], "timestamp": [100, 200, 150, 50]})
+    movies = pd.DataFrame({
+        "sid": [10, 20], "movie_name": ["A", "B"],
+        "categories": ["x", "y"]})
+    ours = dataset_utils.join_movies(ratings, movies)
+    ref = pd.merge(ratings, movies)
+    pd.testing.assert_frame_equal(
+        ours.sort_values(["uid", "sid"]).reset_index(drop=True),
+        ref.sort_values(["uid", "sid"]).reset_index(drop=True),
+        check_dtype=False)
+    assert len(ours) == 3  # sid 99 has no movie row (inner join)
