@@ -70,20 +70,39 @@ class BERT4RecDataloader(BaseDataloader):
 
     # ------------------------------------------------------------------ #
 
-    def _source_df(self):
-        """The raw extracted DataFrame, parsed once per (source, record
-        cap): a full quality run otherwise re-parses the raw files three
-        times (vocab generation, sequence building, item-list/popularity)
-        — ~27 s each at ML-20M scale. The cache key includes
-        ``load_n_records`` so daisy-chained record caps stay correct."""
+    def _source_df(self, required_columns=None):
+        """The raw extracted DataFrame, parsed once per (source, file,
+        record cap): a full quality run otherwise re-parses the raw files
+        three times (vocab generation, sequence building,
+        item-list/popularity) — ~27 s each at ML-20M scale. The cached
+        frame is pruned to the dataloader's declared columns (the unpruned
+        ML-20M frame holds gigabytes of never-read rating/category
+        strings); a caller needing other columns (``required_columns``)
+        forces a fresh parse."""
         key = (self.data_source,
-               getattr(self.data_source, "load_n_records", None))
+               getattr(self.data_source, "load_n_records", None),
+               str(getattr(self.data_source, "dest", None)))
         cached = getattr(self, "_raw_df_cache", None)
         if cached is not None and cached[0] == key:
-            return cached[1]
+            df = cached[1]
+            if required_columns is None or all(
+                    c in df.columns for c in required_columns):
+                return df
         df = self.data_source.load_data()
+        declared = [c for c in dict.fromkeys(
+            getattr(self, "_declared_columns", lambda: [])())
+            if c in df.columns]
+        missing_req = [c for c in (required_columns or [])
+                       if c not in declared]
+        if declared and not missing_req:
+            df = df[declared]
         self._raw_df_cache = (key, df)
         return df
+
+    def _declared_columns(self) -> list:
+        """Columns this dataloader reads from the raw frame (subclasses
+        with declarative defaults narrow this; [] = keep everything)."""
+        return []
 
     def load_data(self,
                   split_data: bool = True,
@@ -98,7 +117,8 @@ class BERT4RecDataloader(BaseDataloader):
         pipeline needs no TF conversion hints.
         """
         extract_data = extract_data or []
-        df = self._source_df()
+        df = self._source_df([c for c in (group_by, sort_by, *extract_data)
+                              if c is not None])
         # keep only the columns this pipeline reads BEFORE the sort — the
         # stable sort re-takes every column, and at ML-20M scale dropping
         # the unused ones (rating, categories, ...) saves tens of seconds

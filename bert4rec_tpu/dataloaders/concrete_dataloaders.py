@@ -99,9 +99,13 @@ class _ConcreteBERT4RecDataloader(BERT4RecDataloader):
             group_by if group_by is not None else self._GROUP_BY,
             finetuning_split)
 
+    def _declared_columns(self) -> list:
+        return [c for c in (self._GROUP_BY, self._SORT_BY, self._EXTRACT)
+                if c is not None]
+
     def generate_vocab(self, source=None, progress_bar: bool = True) -> bool:
         if source is None:
-            df = self._source_df()
+            df = self._source_df([self._EXTRACT])
             # first-seen order (deterministic), unlike the reference's
             # arbitrary set() order — only size parity is contractual;
             # pd.unique is order-preserving at C speed (dict.fromkeys over
@@ -110,7 +114,7 @@ class _ConcreteBERT4RecDataloader(BERT4RecDataloader):
         return super().generate_vocab(source, progress_bar)
 
     def create_item_list(self) -> list:
-        df = self._source_df()
+        df = self._source_df([self._EXTRACT])
         return df[self._EXTRACT].to_list()
 
 

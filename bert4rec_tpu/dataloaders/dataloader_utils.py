@@ -42,8 +42,11 @@ def group_sequences(df: pd.DataFrame, group_column_name: str,
     if len(df) == 0:
         return {c: [] for c in extract_columns}
     codes, _ = pd.factorize(df[group_column_name], sort=True)
-    order = np.argsort(codes, kind="stable")
-    boundaries = np.cumsum(np.bincount(codes))[:-1]
+    keep = np.flatnonzero(codes >= 0)  # groupby drops NaN keys; so do we
+    if keep.size == 0:
+        return {c: [] for c in extract_columns}
+    order = keep[np.argsort(codes[keep], kind="stable")]
+    boundaries = np.cumsum(np.bincount(codes[keep]))[:-1]
     return {c: np.split(df[c].to_numpy()[order], boundaries)
             for c in extract_columns}
 

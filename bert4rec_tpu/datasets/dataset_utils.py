@@ -112,18 +112,23 @@ def download_and_unpack_to_folder(url: str,
 def join_movies(ratings, movies):
     """Inner-join movie metadata onto ratings by ``sid`` via dict maps.
 
-    Same result as ``pd.merge(ratings, movies)`` on these frames (unique
-    ``sid`` per movie), but hash-map column lookups instead of full merge
-    machinery — several times faster at ML-20M scale (20M rows).
+    Same result as ``pd.merge(ratings, movies)`` for unique movie ``sid``s
+    (membership-based inner join, so NaN metadata values survive like they
+    do under merge), but hash-map column lookups instead of full merge
+    machinery — several times faster at ML-20M scale (20M rows). Falls
+    back to ``pd.merge`` if ``sid`` is not unique (merge's row-per-match
+    semantics cannot be expressed as a map).
     """
+    import pandas as pd
+
+    if not movies["sid"].is_unique:
+        return pd.merge(ratings, movies)
     m = movies.set_index("sid")
-    out = ratings.copy(deep=False)
+    matched = ratings["sid"].isin(m.index)
+    out = (ratings if bool(matched.all())
+           else ratings[matched].reset_index(drop=True))
+    out = out.copy(deep=False)
     for col in movies.columns:
-        if col == "sid":
-            continue
-        out[col] = ratings["sid"].map(m[col])
-    # inner-join semantics: drop ratings whose sid has no movie row
-    first = movies.columns[1]
-    if out[first].isna().any():
-        out = out.dropna(subset=[first]).reset_index(drop=True)
+        if col != "sid":
+            out[col] = out["sid"].map(m[col])
     return out

@@ -107,6 +107,12 @@ class SimpleTokenizer(BaseTokenizer):
             ids = [self.tokenize(v) for v in flat.tolist()]
             return np.array(ids, dtype=np.int32).reshape(arr.shape)
         codes, uniques = pd.factorize(flat)
+        if codes.min() < 0:
+            # factorize gives NaN/None code -1, which would silently alias
+            # the last unique's id — fail loudly like the per-element path
+            raise ValueError(
+                "tokenize input contains null/NaN items; clean the item "
+                "column before tokenizing")
         ids = np.asarray([self.tokenize(v) for v in uniques],
                          dtype=np.int32)
         return ids[codes].reshape(arr.shape)

@@ -240,3 +240,12 @@ def test_make_batches_reshuffles_per_call():
     assert not np.array_equal(a, b)
     a2 = np.concatenate([b["x"] for b in utils.make_batches(feats, 10, seed=1)])
     np.testing.assert_array_equal(a, a2)
+
+
+def test_group_sequences_drops_nan_keys_like_groupby():
+    df = pd.DataFrame({"user": [1.0, np.nan, 1.0, 2.0],
+                       "item": list("abcd")})
+    out = utils.group_sequences(df, "user", ["item"])
+    assert [list(s) for s in out["item"]] == [["a", "c"], ["d"]]
+    all_nan = pd.DataFrame({"user": [np.nan], "item": ["a"]})
+    assert utils.group_sequences(all_nan, "user", ["item"]) == {"item": []}

@@ -104,3 +104,23 @@ def test_join_movies_matches_pd_merge():
         ref.sort_values(["uid", "sid"]).reset_index(drop=True),
         check_dtype=False)
     assert len(ours) == 3  # sid 99 has no movie row (inner join)
+
+
+def test_join_movies_keeps_nan_metadata_and_dup_sids():
+    import numpy as np
+    import pandas as pd
+    ratings = pd.DataFrame({
+        "uid": [1, 2], "sid": [10, 20],
+        "rating": [5, 3], "timestamp": [100, 200]})
+    movies = pd.DataFrame({
+        "sid": [10, 20], "movie_name": ["A", np.nan],
+        "categories": ["x", "y"]})
+    ours = dataset_utils.join_movies(ratings, movies)
+    assert len(ours) == 2  # NaN title is metadata, not a join miss
+    assert ours["movie_name"].isna().sum() == 1
+    # duplicate sids fall back to merge's row-per-match
+    dup = pd.DataFrame({"sid": [10, 10], "movie_name": ["A", "B"],
+                        "categories": ["x", "y"]})
+    out = dataset_utils.join_movies(ratings, dup)
+    ref = pd.merge(ratings, dup)
+    pd.testing.assert_frame_equal(out, ref)

@@ -127,3 +127,12 @@ def test_num_vocab_file_roundtrip(tmp_path):
     path = tmp_path / "nums.txt"
     tokenizer_utils.export_num_vocab_to_file(path, [5, 7, 9])
     assert tokenizer_utils.import_num_vocab_from_file(path) == [5, 7, 9]
+
+
+def test_tokenize_array_rejects_nan():
+    import numpy as np
+    import pytest
+    from bert4rec_tpu.tokenizers import SimpleTokenizer
+    tok = SimpleTokenizer()
+    with pytest.raises(ValueError, match="null/NaN"):
+        tok.tokenize(np.array(["x", "y", np.nan, "x"], dtype=object))
