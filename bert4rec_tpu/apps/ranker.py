@@ -8,10 +8,12 @@ inconsistent with its own Recommender — a documented quirk (SURVEY.md §7)
 we do NOT replicate: higher logit = better rank here, consistently.
 
 TPU-native design: the rank is computed ON DEVICE as a count of
-strictly-greater logits (ties rank ahead, matching the reference's sort
-order) — a plain reduction that GSPMD turns into shard-local sums + one
-psum on a vocab-sharded table, so the full ``[V]`` logits row is never
-gathered to the host (SURVEY.md §7 hard part 3).
+tying-or-greater logits (ties count AGAINST the target — the same tie law
+as the evaluator's rank counting and ``gt_ranks_full_vocab``, so app ranks
+and eval metrics agree on tied scores) — a plain reduction that GSPMD
+turns into shard-local sums + one psum on a vocab-sharded table, so the
+full ``[V]`` logits row is never gathered to the host (SURVEY.md §7 hard
+part 3).
 """
 
 import functools
@@ -61,7 +63,9 @@ class Ranker:
         def rank_one(params, inputs, item_id, use_mlm_head):
             logits = logits_row(params, inputs, use_mlm_head)
             target = jnp.take(logits, item_id)
-            return jnp.sum((logits > target).astype(jnp.int32)) + 1
+            # >= includes the target itself once, giving exactly
+            # 1 + (competitors tying or beating it) — the evaluator's law
+            return jnp.sum((logits >= target).astype(jnp.int32))
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def candidate_order(params, inputs, candidate_ids, use_mlm_head):

@@ -88,3 +88,39 @@ def make_batch_specs(batch: Any) -> Any:
     def spec_for(leaf):
         return P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
     return jax.tree.map(spec_for, batch)
+
+
+def place_batch(mesh: Mesh, arrays: dict, stacked: bool = False,
+                what: str = "batch") -> dict:
+    """Device-place a feature dict with its batch dim sharded over 'data'
+    (dim 1 of ``[K, B, ...]`` leaves when ``stacked``).
+
+    The ONE multi-host global-batch assembly in the codebase (trainer and
+    evaluator both route through it): validates that the GLOBAL batch (the
+    per-process slice times ``process_count``) divides the 'data' axis,
+    then assembles distributed global arrays from the per-process local
+    slices via ``jax.make_array_from_process_local_data`` — or plain
+    ``device_put`` single-process.
+    """
+    first = np.asarray(next(iter(arrays.values())))
+    b = first.shape[1] if stacked else first.shape[0]
+    b_global = b * jax.process_count()
+    data_size = dict(mesh.shape).get(DATA_AXIS, 1)
+    if b_global % max(data_size, 1) != 0:
+        raise ValueError(
+            f"global {what} size {b_global} ({b} per process) does not "
+            f"divide the mesh's 'data' axis ({data_size} devices) — pick "
+            f"a multiple (got mesh {dict(mesh.shape)})")
+
+    def sharding(v):
+        v = np.asarray(v)
+        spec = make_batch_specs({"x": v[0] if stacked else v})["x"]
+        if stacked:
+            spec = P(None, *spec)
+        return NamedSharding(mesh, spec)
+
+    shardings = {k: sharding(v) for k, v in arrays.items()}
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+            shardings[k], np.asarray(v)) for k, v in arrays.items()}
+    return jax.device_put(arrays, shardings)

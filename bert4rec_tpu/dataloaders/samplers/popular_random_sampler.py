@@ -148,6 +148,16 @@ class PopularRandomSampler(BaseSampler):
                 idx = self._without_indices(without)
                 if idx.size:
                     scores[i, idx] = -np.inf
+        # per-row pool check: argpartition would otherwise silently fill
+        # short rows with excluded/zero-mass items (sample() raises on the
+        # same condition, and silent fill inflates eval metrics)
+        pool = np.isfinite(scores).sum(axis=1)
+        if np.any(pool < sample_size):
+            short = int(pool.min())
+            raise ValueError(
+                f"Excluding the per-row item sets leaves as few as {short} "
+                f"of the {v}-item vocab with probability mass — fewer than "
+                f"the {sample_size} negatives requested.")
         # top-k per row; candidate order within a sample does not matter
         part = np.argpartition(-scores, sample_size - 1, axis=1)[:, :sample_size]
         return part

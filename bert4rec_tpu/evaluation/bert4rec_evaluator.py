@@ -17,6 +17,7 @@ and ranks for the whole batch come from ONE jitted forward + candidate
 gather: rank = 1 + #{negatives with logit >= gt logit}.
 """
 
+import warnings
 from typing import List, Optional
 
 import jax
@@ -164,22 +165,8 @@ class BERT4RecEvaluator(BaseEvaluator):
         if self.mesh is None:
             return arrays
         from bert4rec_tpu.core import partitioning
-        b = np.asarray(next(iter(arrays.values()))).shape[0]
-        b_global = b * jax.process_count()  # local slice under multi-host
-        data_size = dict(self.mesh.shape).get("data", 1)
-        if b_global % max(data_size, 1) != 0:
-            raise ValueError(
-                f"global evaluation batch size {b_global} ({b} per "
-                f"process) does not divide the mesh's 'data' axis "
-                f"({data_size} devices) — pick a multiple")
-        shard = {k: jax.sharding.NamedSharding(
-            self.mesh, partitioning.make_batch_specs(
-                {"x": np.asarray(v)})["x"])
-            for k, v in arrays.items()}
-        if jax.process_count() > 1:
-            return {k: jax.make_array_from_process_local_data(
-                shard[k], np.asarray(v)) for k, v in arrays.items()}
-        return jax.device_put(arrays, shard)
+        return partitioning.place_batch(self.mesh, arrays,
+                                        what="evaluation batch")
 
     def _device_sampling_available(self) -> bool:
         if self.device_negatives is False:
@@ -251,6 +238,21 @@ class BERT4RecEvaluator(BaseEvaluator):
         gt_idx = lut[safe_gt]
         rows, cols = np.nonzero(valid & (gt_idx >= 0))
         out[rows, cols, -1] = gt_idx[rows, cols]
+        # the jitted sampler cannot raise: warn once if any row's exclusion
+        # set could exhaust the positive-mass pool — top-k would then
+        # silently return excluded/zero-mass items as negatives, inflating
+        # HR/NDCG (the host sampler raises on this same condition)
+        if not getattr(self, "_warned_small_pool", False):
+            pool = int(np.count_nonzero(self.sampler._probs > 0))
+            max_excl = int((out != v).sum(axis=-1).max(initial=0))
+            if pool - max_excl < self.sample_size:
+                self._warned_small_pool = True
+                warnings.warn(
+                    f"negative-sampling pool may be too small: {pool} "
+                    f"items carry probability mass, up to {max_excl} are "
+                    f"excluded per position, sample_size="
+                    f"{self.sample_size} — short rows will receive "
+                    f"excluded/zero-mass items as negatives")
         return out
 
     def _evaluate_batch_device(self, model, params, batch, labels,

@@ -237,7 +237,10 @@ class BERT4RecModel:
             logits = self.mlm_logits(params, outputs["sequence_output"],
                                      inputs["masked_lm_positions"])
             if apply_prediction_mask and self.special_token_ids:
-                mask = jnp.zeros((self.config.vocab_size,), jnp.float32) \
+                # width must match the logits (padded_vocab_size when
+                # vocab_pad_to pads the table for 'model'-axis sharding)
+                mask = jnp.zeros((self.config.padded_vocab_size,),
+                                 jnp.float32) \
                     .at[jnp.asarray(self.special_token_ids)].set(-1e9)
                 logits = logits + mask
             outputs["mlm_logits"] = logits

@@ -92,7 +92,7 @@ def _fwd_block(hidden_l, table_l, bias_l, labels_l, *, vocab_size,
 
 
 def _bwd_block(hidden_l, table_l, bias_l, labels_l, lse_l, g, nv, *,
-               vocab_size, interpret):
+               vocab_size, interpret, has_data_axis=True):
     v_local = table_l.shape[0]
     offset = _shard_offset(v_local)
     lab_local = labels_l.astype(jnp.int32) - offset
@@ -108,6 +108,12 @@ def _bwd_block(hidden_l, table_l, bias_l, labels_l, lse_l, g, nv, *,
         hidden_l, table_l, bias_m, lab_bwd, lse_l, g, nv, v_local,
         interpret, valid_ge_zero=True)
     dh = jax.lax.psum(dh_l, MODEL_AXIS)
+    if has_data_axis:
+        # each data replica saw only its batch slice: the table/bias grads
+        # (replicated over 'data') must sum across replicas, exactly like
+        # GSPMD's gradient all-reduce on the unsharded path
+        dt_l = jax.lax.psum(dt_l, DATA_AXIS)
+        db_l = jax.lax.psum(db_l, DATA_AXIS)
     return dh, dt_l, db_l
 
 
@@ -154,7 +160,8 @@ def _sharded_vjp_bwd(vocab_size, mesh, interpret, residuals, g):
     sp = _local_specs(mesh)
     fn = jax.shard_map(
         functools.partial(_bwd_block, vocab_size=vocab_size,
-                          interpret=interpret),
+                          interpret=interpret,
+                          has_data_axis=DATA_AXIS in mesh.axis_names),
         mesh=mesh,
         in_specs=(sp["hidden"], sp["table"], sp["bias"], sp["labels"],
                   sp["lse"], P(), P()),

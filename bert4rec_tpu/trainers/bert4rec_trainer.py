@@ -175,7 +175,9 @@ class BERT4RecTrainer(BaseTrainer):
             logs = {"loss": loss, **logs,
                     "_n_valid": trainer_utils.n_valid_positions(
                         batch["masked_lm_ids"]),
-                    "_n_total": jnp.float32(batch["masked_lm_ids"].size)}
+                    "_n_total": jnp.float32(batch["masked_lm_ids"].size),
+                    "_n_real": trainer_utils.n_real_positions(
+                        batch["masked_lm_ids"])}
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -189,7 +191,9 @@ class BERT4RecTrainer(BaseTrainer):
             return {"loss": loss, **logs,
                     "_n_valid": trainer_utils.n_valid_positions(
                         batch["masked_lm_ids"]),
-                    "_n_total": jnp.float32(batch["masked_lm_ids"].size)}
+                    "_n_total": jnp.float32(batch["masked_lm_ids"].size),
+                    "_n_real": trainer_utils.n_real_positions(
+                        batch["masked_lm_ids"])}
 
         def eval_multi(state, stacked):
             """K eval steps in one dispatch (leaves [K, B, ...]); logs come
@@ -231,7 +235,9 @@ class BERT4RecTrainer(BaseTrainer):
                 gsum = jax.tree.map(lambda a, g: a + w * g, gsum, grads)
                 logs = {"loss": loss, **logs, "_n_valid": w,
                         "_n_total": jnp.float32(
-                            batch["masked_lm_ids"].size)}
+                            batch["masked_lm_ids"].size),
+                        "_n_real": trainer_utils.n_real_positions(
+                            batch["masked_lm_ids"])}
                 return (gsum, wsum + w), logs
 
             zeros = jax.tree.map(jnp.zeros_like, params)
@@ -256,6 +262,36 @@ class BERT4RecTrainer(BaseTrainer):
         self._eval_step_fn = jax.jit(eval_step)
         self._eval_multi_fn = jax.jit(eval_multi)
 
+    def _grouped_batch_iter(self, raw, group_k: int, drop_partial: bool):
+        """Prefetched device iterator over a raw host-batch stream: full
+        groups of ``group_k`` batches become ONE stacked ``[K, B, ...]``
+        placement (multi-step / accumulation dispatch); the tail group is
+        dropped (``drop_partial``) or placed as single batches. Shared by
+        train() and validate() so the stacking/placement law exists once."""
+        if group_k <= 1:
+            return prefetch(raw, self._put_batch, depth=2)
+
+        def grouped(it=raw, k=group_k):
+            buf = []
+            for b in it:
+                buf.append(b)
+                if len(buf) == k:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        def put(bufs):
+            if len(bufs) == group_k:
+                return self._put_batch(
+                    {key: np.stack([b[key] for b in bufs])
+                     for key in bufs[0]}, stacked=True)
+            if drop_partial:
+                return None
+            return [self._put_batch(b) for b in bufs]
+
+        return prefetch(grouped(), put, depth=2)
+
     def _put_batch(self, batch: dict, stacked: bool = False) -> dict:
         """Device-place one batch (or, ``stacked``, a [K, B, ...] stack of
         K batches — the batch dim sharded over 'data' is then dim 1)."""
@@ -263,36 +299,7 @@ class BERT4RecTrainer(BaseTrainer):
                  if k != "labels"}  # labels unused by the step fns
         if self.mesh is None:
             return batch
-
-        first = np.asarray(next(iter(batch.values())))
-        b = first.shape[1] if stacked else first.shape[0]
-        # under multi-host each process holds a LOCAL slice; the GLOBAL
-        # batch is what must divide the 'data' axis
-        b_global = b * jax.process_count()
-        data_size = dict(self.mesh.shape).get("data", 1)
-        if b_global % max(data_size, 1) != 0:
-            raise ValueError(
-                f"global batch size {b_global} ({b} per process) does not "
-                f"divide the mesh's 'data' axis ({data_size} devices) — "
-                f"pick a multiple (got mesh {dict(self.mesh.shape)})")
-
-        def spec(v):
-            v = np.asarray(v)
-            base = partitioning.make_batch_specs(
-                {"x": v[0] if stacked else v})["x"]
-            if stacked:
-                base = jax.sharding.PartitionSpec(None, *base)
-            return jax.sharding.NamedSharding(self.mesh, base)
-
-        shardings = {k: spec(v) for k, v in batch.items()}
-        if jax.process_count() > 1:
-            # multi-host: each process holds its local slice of the global
-            # batch; assemble the distributed global array from it
-            return {
-                k: jax.make_array_from_process_local_data(
-                    shardings[k], np.asarray(v))
-                for k, v in batch.items()}
-        return jax.device_put(batch, shardings)
+        return partitioning.place_batch(self.mesh, batch, stacked=stacked)
 
     # ------------------------------------------------------------------ #
     # train / validate
@@ -371,33 +378,11 @@ class BERT4RecTrainer(BaseTrainer):
             group_k = self.grad_accum_steps if accum else k_call
             raw = train_ds.batches(batch_size, shuffle=True,
                                    seed=seed + epoch, drop_remainder=True)
-            if group_k > 1:
-                def grouped(it=raw, k=group_k):
-                    buf = []
-                    for b in it:
-                        buf.append(b)
-                        if len(buf) == k:
-                            yield buf
-                            buf = []
-                    if buf:
-                        yield buf
-
-                def put(bufs):
-                    # full groups become one stacked [K|A, B, ...] dispatch;
-                    # the epoch tail falls back to single steps (multi-step)
-                    # or is dropped (accumulation — a partial group would
-                    # change the effective batch of its update)
-                    if len(bufs) == group_k:
-                        return self._put_batch(
-                            {key: np.stack([b[key] for b in bufs])
-                             for key in bufs[0]}, stacked=True)
-                    if accum:
-                        return None
-                    return [self._put_batch(b) for b in bufs]
-
-                batch_iter = prefetch(grouped(), put, depth=2)
-            else:
-                batch_iter = prefetch(raw, self._put_batch, depth=2)
+            # epoch-tail policy: accumulation DROPS partial groups (a
+            # partial group would change the effective batch of its
+            # update); multi-step falls back to single-step calls
+            batch_iter = self._grouped_batch_iter(raw, group_k,
+                                                  drop_partial=accum)
 
             def accumulate(logs, n_steps):
                 nonlocal count, global_step
@@ -411,10 +396,18 @@ class BERT4RecTrainer(BaseTrainer):
                 # multi-step calls reduce the same way)
                 w_valid = logs.pop("_n_valid")
                 w_total = logs.pop("_n_total")
+                w_real = logs.pop("_n_real")
                 for k, v in logs.items():
-                    w = w_total if k == "accuracy" else w_valid
-                    sums[k] = sums.get(k, 0.0) + jnp.sum(v * w)
-                    wsums[k] = wsums.get(k, 0.0) + jnp.sum(w)
+                    if k == "accuracy":
+                        # hits over all positions / real-row positions: a
+                        # padded batch's fake rows never count in the
+                        # denominator (they only hit when the model argmaxes
+                        # the PAD token, which counts against real rows)
+                        sums[k] = sums.get(k, 0.0) + jnp.sum(v * w_total)
+                        wsums[k] = wsums.get(k, 0.0) + jnp.sum(w_real)
+                    else:
+                        sums[k] = sums.get(k, 0.0) + jnp.sum(v * w_valid)
+                        wsums[k] = wsums.get(k, 0.0) + jnp.sum(w_valid)
                 return steps_per_epoch and count >= steps_per_epoch
 
             stop_epoch = False
@@ -510,43 +503,29 @@ class BERT4RecTrainer(BaseTrainer):
         raw = map(drop_weights,
                   val_ds.batches(batch_size, shuffle=False, seed=seed,
                                  pad_final_batch=True))
-
-        if k_call > 1:
-            def grouped(it=raw, k=k_call):
-                buf = []
-                for b in it:
-                    buf.append(b)
-                    if len(buf) == k:
-                        yield buf
-                        buf = []
-                if buf:
-                    yield buf
-
-            def put(bufs):
-                if len(bufs) == k_call:
-                    return self._put_batch(
-                        {key: np.stack([b[key] for b in bufs])
-                         for key in bufs[0]}, stacked=True)
-                return [self._put_batch(b) for b in bufs]
-
-            batch_iter = prefetch(grouped(), put, depth=2)
-        else:
-            batch_iter = prefetch(raw, self._put_batch, depth=2)
+        batch_iter = self._grouped_batch_iter(raw, k_call,
+                                              drop_partial=False)
 
         def accumulate(logs, n):
             nonlocal count
             count += n
             w_valid = logs.pop("_n_valid")
             w_total = logs.pop("_n_total")
+            w_real = logs.pop("_n_real")
             for k, v in logs.items():
                 # exact weighting over unequal/padded batches: pad rows have
                 # masked_lm_ids == 0 so they carry zero weight — this makes
                 # val_masked_accuracy (the checkpoint monitor) exact; the
-                # unmasked 'accuracy' weights by all positions instead
-                # ([K]-shaped logs from stacked dispatches reduce the same)
-                w = w_total if k == "accuracy" else w_valid
-                sums[k] = sums.get(k, 0.0) + jnp.sum(v * w)
-                wsums[k] = wsums.get(k, 0.0) + jnp.sum(w)
+                # unmasked 'accuracy' sums hits over all positions but
+                # divides by REAL-row positions, so the padded final
+                # batch's fake rows don't dilute it ([K]-shaped logs from
+                # stacked dispatches reduce the same)
+                if k == "accuracy":
+                    sums[k] = sums.get(k, 0.0) + jnp.sum(v * w_total)
+                    wsums[k] = wsums.get(k, 0.0) + jnp.sum(w_real)
+                else:
+                    sums[k] = sums.get(k, 0.0) + jnp.sum(v * w_valid)
+                    wsums[k] = wsums.get(k, 0.0) + jnp.sum(w_valid)
 
         for item in batch_iter:
             if isinstance(item, dict) and k_call > 1:
@@ -567,6 +546,11 @@ class BERT4RecTrainer(BaseTrainer):
     def save_checkpoint(self, path) -> None:
         tree = dict(self.state)
         tree["epoch"] = np.int32(getattr(self, "_epochs_completed", 0) or 0)
+        # the best-checkpoint callback's high-water mark, so a resumed run
+        # doesn't overwrite a better checkpoint with a worse first epoch
+        best = getattr(self, "_best_monitor_value", None)
+        tree["best_monitor"] = np.float64(
+            best if best is not None else np.nan)
         ckpt_lib.save_pytree(path, tree)
 
     def load_checkpoint(self, path) -> None:
@@ -574,12 +558,17 @@ class BERT4RecTrainer(BaseTrainer):
             raise RuntimeError("Call initialize_model before load_checkpoint")
         restored = ckpt_lib.load_pytree(path, self.state)
         self.state = self._place(restored)
-        # optional epoch record (absent in legacy checkpoints)
+        # optional epoch / best-metric records (absent in legacy ckpts)
         self._epochs_completed = None
+        self._best_monitor_value = None
         try:
             with np.load(path, allow_pickle=False) as data:
                 if "epoch" in data:
                     self._epochs_completed = int(data["epoch"])
+                if "best_monitor" in data:
+                    v = float(data["best_monitor"])
+                    if np.isfinite(v):
+                        self._best_monitor_value = v
         except (OSError, ValueError):
             pass
 

@@ -104,6 +104,15 @@ class ModelCheckpoint(Callback):
     def _improved(self, value: float) -> bool:
         return value > self.best if self.mode == "max" else value < self.best
 
+    def on_train_begin(self, trainer):
+        # adopt the checkpoint's persisted high-water mark after a resume:
+        # otherwise the first post-restart epoch always "improves" on
+        # -inf and overwrites the best checkpoint with worse weights
+        restored = getattr(trainer, "_best_monitor_value", None)
+        if (restored is not None and math.isfinite(restored)
+                and not math.isfinite(self.best)):
+            self.best = float(restored)
+
     def on_epoch_end(self, trainer, epoch, logs):
         value = logs.get(self.monitor)
         if value is None and self.save_best_only:
@@ -120,6 +129,7 @@ class ModelCheckpoint(Callback):
             return
         if value is not None:
             self.best = float(value)
+        trainer._best_monitor_value = self.best
         trainer.save_checkpoint(self.filepath)
         if self.verbose:
             print(f"[checkpoint] epoch {epoch}: saved to {self.filepath} "

@@ -45,6 +45,15 @@ def n_valid_positions(y_true: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((y_true != 0).astype(jnp.float32))
 
 
+def n_real_positions(y_true: jnp.ndarray) -> jnp.ndarray:
+    """Positions belonging to REAL rows (rows with at least one non-pad
+    label), fp32. A padded final eval batch adds all-zero-label fake rows;
+    the unmasked 'accuracy' denominator must exclude their positions (real
+    rows always carry >= 1 prediction, so this never drops a real row)."""
+    real_rows = jnp.any(y_true != 0, axis=-1).astype(jnp.float32)
+    return jnp.sum(real_rows) * y_true.shape[-1]
+
+
 def sparse_categorical_accuracy(y_true: jnp.ndarray,
                                 logits: jnp.ndarray) -> jnp.ndarray:
     """Unmasked argmax accuracy (Keras SparseCategoricalAccuracy parity,

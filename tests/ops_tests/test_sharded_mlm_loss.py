@@ -55,8 +55,12 @@ class TestShardedFusedLoss:
                                    float(want_acc), rtol=1e-6)
         assert int(nv) == int((np.asarray(labels) != 0).sum())
 
-    def test_gradients_match_xla(self):
-        mesh = create_mesh(MeshConfig(model_parallelism=8))
+    @pytest.mark.parametrize("mp", [8, 2])
+    def test_gradients_match_xla(self, mp):
+        # mp=2 puts data=4 in the mesh: the DP x TP topology where the
+        # table/bias grads MUST psum over 'data' (each replica sees only
+        # its batch slice) — regression test for the missing reduction
+        mesh = create_mesh(MeshConfig(model_parallelism=mp))
         hidden, table, bias, labels, vs = setup(rows=32, v=2048,
                                                 vocab_size=2048)
 

@@ -327,6 +327,60 @@ class TestWeightedMetricAggregation:
             assert abs(exact - naive) > 1e-7 or k == "masked_accuracy"
         assert "_n_valid" not in got
 
+    def test_validate_accuracy_ignores_padded_rows(self):
+        """A padded final batch's fake all-zero-label rows must not dilute
+        the unmasked 'accuracy' denominator."""
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        real = self._features([4, 3], seed=3)
+
+        class RealOnly:
+            def batches(self, batch_size, **kw):
+                yield dict(real)
+
+        class RealPlusPad:
+            def batches(self, batch_size, **kw):
+                padded = {k: np.concatenate([v, np.zeros_like(v)] * 4)
+                          for k, v in real.items()}
+                # fake rows keep input_mask=0 and all labels 0
+                yield padded
+
+        a = trainer.validate(RealOnly())
+        b = trainer.validate(RealPlusPad())
+        np.testing.assert_allclose(a["accuracy"], b["accuracy"], rtol=1e-4)
+        np.testing.assert_allclose(a["masked_accuracy"],
+                                   b["masked_accuracy"], rtol=1e-4)
+
+    def test_checkpoint_best_survives_resume(self, tmp_path):
+        """After auto-resume, the best-metric checkpoint must not be
+        overwritten by a worse first epoch (the callback's high-water mark
+        persists in the checkpoint)."""
+        from bert4rec_tpu.trainers.callbacks import ModelCheckpoint
+        model = make_model()
+        trainer = BERT4RecTrainer(model)
+        trainer.initialize_model(rng=jax.random.key(0))
+        path = tmp_path / "best.npz"
+        cb = ModelCheckpoint(path, monitor="val_masked_accuracy",
+                             verbose=False)
+        cb.on_epoch_end(trainer, 0, {"val_masked_accuracy": 0.30})
+        assert cb.best == 0.30
+
+        # fresh trainer + callback, as after a crash/restart
+        trainer2 = BERT4RecTrainer(make_model())
+        trainer2.initialize_model(rng=jax.random.key(1))
+        trainer2.load_checkpoint(path)
+        assert trainer2._best_monitor_value == 0.30
+        cb2 = ModelCheckpoint(path, monitor="val_masked_accuracy",
+                              verbose=False)
+        cb2.on_train_begin(trainer2)
+        assert cb2.best == 0.30
+        before = path.read_bytes()
+        cb2.on_epoch_end(trainer2, 1, {"val_masked_accuracy": 0.27})
+        assert path.read_bytes() == before  # worse epoch: no overwrite
+        cb2.on_epoch_end(trainer2, 2, {"val_masked_accuracy": 0.31})
+        assert path.read_bytes() != before  # better epoch: saved
+
 
 class TestMultiStepDispatch:
     """steps_per_call > 1 (lax.scan over stacked batches) must be
