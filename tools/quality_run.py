@@ -61,6 +61,12 @@ def build_argparser():
                    help="--smoke model family: masked-LM BERT4Rec or "
                         "causal next-item SASRec (same harness, same "
                         "protocol)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from an existing checkpoint in the output "
+                        "dir. Default OFF: a quality measurement starts "
+                        "from fresh weights — silently resuming a finished "
+                        "checkpoint would re-report old weights as a new "
+                        "run (epochs_ran would be 0)")
     p.add_argument("--full-ranking", action="store_true",
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
@@ -124,6 +130,11 @@ def run_real(args):
 
     out_dir = pathlib.Path(args.out or f"quality_runs/{args.dataset}")
     ckpt = out_dir / "checkpoints" / "best.npz"
+    if not args.resume and ckpt.exists():
+        # fresh-run semantics: leftover checkpoints would auto-resume and
+        # (if already at the epoch budget) re-report old weights as a
+        # zero-epoch "run"
+        ckpt.unlink()
     t0 = time.time()
     history = trainer.train(train_ds, val_ds, checkpoint_path=ckpt,
                             epochs=args.epochs, batch_size=args.batch_size,
@@ -155,6 +166,7 @@ def run_real(args):
         },
         "vocab_size": tokenizer.get_vocab_size(),
         "epochs_ran": len(history.history.get("loss", [])),
+        "resumed": bool(args.resume),
         "wall_seconds": time.time() - t0,
         "results": {k: float(v) for k, v in results.items()},
         "results_popularity_floor": {k: float(v) for k, v in floor.items()},
