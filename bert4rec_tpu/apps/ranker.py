@@ -102,7 +102,8 @@ class Ranker:
                     for r, i in zip(range(len(order)), order)]
 
         item_id = jnp.asarray(int(tok.tokenize(rank_item)), jnp.int32)
-        # 1-based rank within the full vocab (ties rank ahead, stable)
+        # 1-based rank within the full vocab (ties count against the
+        # target — the evaluator's tie law)
         rank = int(self._rank_one(self.params, inputs, item_id, use_mlm_head))
         text = (f"The item '{rank_item}' was ranked {rank} out of "
                 f"{self.model.config.vocab_size} items for the given "

@@ -172,9 +172,19 @@ class BERT4RecEvaluator(BaseEvaluator):
         if self.device_negatives is False:
             return False
         s = self.sampler
-        return (getattr(s, "_probs", None) is not None
-                and callable(getattr(s, "_int_id_lut", None))
-                and s._int_id_lut() is not None)
+        ok = (getattr(s, "_probs", None) is not None
+              and callable(getattr(s, "_int_id_lut", None))
+              and s._int_id_lut() is not None)
+        if not ok and self.device_negatives is True:
+            # an explicit True that cannot be honored must not silently
+            # degrade to the ~10x-slower host path
+            raise ValueError(
+                "device_negatives=True requires a sampler with a "
+                "popularity distribution and an integer-id vocab "
+                "(pop_random over int item ids); this sampler exposes "
+                "neither — drop the flag to auto-select or pass "
+                "device_negatives=False for the host path")
+        return ok
 
     def _fused_rank_fn(self, model):
         """One jitted computation per (model, sampler distribution):
@@ -259,8 +269,19 @@ class BERT4RecEvaluator(BaseEvaluator):
                                gt_ids, valid, fetch: bool = True):
         without_idx = self._build_without_idx(labels, gt_ids, valid)
         if getattr(self, "_base_key", None) is None:
-            self._base_key = jax.random.key(
-                self.seed if self.seed is not None else 0)
+            if self.seed is not None:
+                seed = self.seed
+            else:
+                # host-oracle parity: default_rng(None) draws fresh
+                # negatives per run. One OS-entropy draw per evaluate(),
+                # broadcast so every host feeds the identical replicated
+                # key into the jitted computation
+                seed = int(np.random.SeedSequence().generate_state(1)[0])
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+                    seed = int(multihost_utils.broadcast_one_to_all(
+                        np.uint32(seed)))
+            self._base_key = jax.random.key(np.uint32(seed))
         counter = np.int32(self._batch_counter)
         self._batch_counter += 1
 
@@ -421,6 +442,10 @@ class BERT4RecEvaluator(BaseEvaluator):
             model, params = model.model, model.params
         self._prepare_sampler()
         self._batch_counter = 0  # deterministic device-sampling streams
+        if self.seed is None:
+            # unseeded evaluator: fresh negatives each run (a cached key
+            # plus the counter reset would replay identical samples)
+            self._base_key = None
 
         if hasattr(test_ds, "batches"):
             # a mesh needs device-divisible batches: zero-pad the final one

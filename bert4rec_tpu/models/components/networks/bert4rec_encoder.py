@@ -276,10 +276,11 @@ class Bert4RecEncoder:
             bucket = jnp.zeros((b, s, s), jnp.int32)
         else:
             ts = input_timestamps.astype(jnp.int32)
-            # garbage stamps at padded slots would index arbitrary buckets;
-            # the pad-mask bias (-1e9 on padded keys) makes them irrelevant,
-            # but pin them to the row's valid range anyway so the magnitude
-            # clip is meaningful
+            # garbage stamps at padded slots index arbitrary buckets, but
+            # every padded KEY carries the -1e9 pad-mask bias and padded
+            # QUERY rows produce no output that survives the MLM position
+            # gather — so no pinning is needed; deltas are only meaningful
+            # between real positions
             delta = ts[:, :, None] - ts[:, None, :]          # [B, S, S]
             half = max(n_buckets // 2, 1)
             mag = jnp.floor(

@@ -86,7 +86,13 @@ def ranks_with_device_negatives(model, params, batch: dict, *,
     gt = batch["masked_lm_ids"][..., None]
     candidates = jnp.concatenate(
         [negatives, gt.astype(negatives.dtype)], axis=-1)
-    sc_kwargs = {"mesh": mesh} if mesh is not None else {}
+    # duck-typed models may implement score_candidates without a mesh
+    # parameter (the host path signature-guards the same way)
+    import inspect
+    sc_kwargs = {}
+    if mesh is not None and "mesh" in inspect.signature(
+            model.score_candidates).parameters:
+        sc_kwargs["mesh"] = mesh
     cand = model.score_candidates(params, batch, candidates, **sc_kwargs)
     gt_logit = cand[..., -1:]
     beaten = jnp.sum((cand[..., :-1] >= gt_logit).astype(jnp.int32), axis=-1)

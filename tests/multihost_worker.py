@@ -76,8 +76,10 @@ def build_evaluator(test_rows, mesh, device_negatives=None):
     sampler = samplers.get("pop_random", source=source,
                            vocab=list(dict.fromkeys(source)),
                            sample_size=10, seed=0)
+    # seed=0: the dist-vs-single-oracle comparison needs identical negative
+    # draws (an unseeded evaluator draws fresh OS entropy per run)
     return BERT4RecEvaluator(sampler=sampler, sample_size=10, mesh=mesh,
-                             static_shapes=True,
+                             static_shapes=True, seed=0,
                              device_negatives=device_negatives)
 
 

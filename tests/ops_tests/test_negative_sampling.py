@@ -119,3 +119,94 @@ class TestEvaluatorPathEquivalence:
                 continue
             assert abs(res_dev[k] - res_host[k]) < 0.25, (k, res_dev,
                                                           res_host)
+
+    def _tiny_setup(self):
+        from bert4rec_tpu.dataloaders.processed_dataset import (
+            MaskingConfig, ProcessedDataset,
+        )
+        from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+        from bert4rec_tpu.dataloaders import samplers
+
+        vocab = 43
+        rng = np.random.default_rng(1)
+        seqs = [((np.arange(int(rng.integers(8, 16))) + int(
+            rng.integers(0, 40))) % 40 + 3).astype(np.int32)
+            for _ in range(32)]
+        cfg = MaskingConfig(max_seq_len=16, max_predictions_per_seq=4,
+                            mask_token_id=1, pad_token_id=0, unk_token_id=2)
+        ds = ProcessedDataset(seqs, cfg, lambda: vocab,
+                              finetuning=np.ones(len(seqs), bool))
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=vocab, hidden_size=32, num_layers=1,
+            num_attention_heads=4, inner_dim=64, max_sequence_length=16,
+            max_predictions_per_seq=4))
+        params = model.init(jax.random.key(0))
+        source = [int(t) for s in seqs for t in s]
+        sampler = samplers.get("pop_random", source=source,
+                               vocab=list(dict.fromkeys(source)),
+                               sample_size=8, seed=0)
+        return ds, model, params, sampler
+
+    def test_unseeded_evaluator_draws_fresh_negatives_per_run(self):
+        """seed=None must not pin the device PRNG: two evaluate() calls on
+        the same instance draw different negative sets (host-oracle
+        default_rng(None) parity)."""
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        ds, model, params, sampler = self._tiny_setup()
+        ev = BERT4RecEvaluator(sampler=sampler, sample_size=8,
+                               device_negatives=True)
+        assert ev.seed is None
+        ev.evaluate(model, params, ds, batch_size=32, progress_bar=False)
+        key1 = np.asarray(jax.random.key_data(ev._base_key)).copy()
+        ev.evaluate(model, params, ds, batch_size=32, progress_bar=False)
+        key2 = np.asarray(jax.random.key_data(ev._base_key))
+        assert not np.array_equal(key1, key2)
+
+        # seeded instances stay deterministic across runs (metrics holders
+        # accumulate across evaluate() calls — reference parity — so reset
+        # between the two measurement runs)
+        ev_s = BERT4RecEvaluator(sampler=sampler, sample_size=8, seed=7,
+                                 device_negatives=True)
+        a = ev_s.evaluate(model, params, ds, batch_size=32,
+                          progress_bar=False)
+        ev_s.reset_metrics()
+        b = ev_s.evaluate(model, params, ds, batch_size=32,
+                          progress_bar=False)
+        assert a == b
+
+    def test_device_negatives_scores_mesh_free_models(self):
+        """A duck-typed model whose score_candidates lacks a mesh parameter
+        must work on the fused path under a mesh (the host path guards the
+        same contract)."""
+        from bert4rec_tpu.core.mesh import MeshConfig, create_mesh
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        ds, model, params, sampler = self._tiny_setup()
+
+        class MeshFree:
+            config = model.config
+
+            def score_candidates(self, params, batch, candidates):
+                return model.score_candidates(params, batch, candidates)
+
+        mesh = create_mesh(MeshConfig())
+        ev = BERT4RecEvaluator(sampler=sampler, sample_size=8, seed=0,
+                               device_negatives=True, mesh=mesh)
+        res = ev.evaluate(MeshFree(), params, ds, batch_size=32,
+                          progress_bar=False)
+        assert res["Valid Ranks"] == 32
+
+    def test_explicit_device_negatives_true_raises_when_unavailable(self):
+        """device_negatives=True with a sampler that cannot run on device
+        must raise, not silently fall back to the host path."""
+        import pytest
+        from bert4rec_tpu.dataloaders.samplers import RandomSampler
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        ds, model, params, _ = self._tiny_setup()
+
+        # RandomSampler has no popularity distribution => no device path
+        uniform = RandomSampler(vocab=list(range(43)), sample_size=8, seed=0)
+        ev = BERT4RecEvaluator(sampler=uniform, sample_size=8,
+                               device_negatives=True)
+        with pytest.raises(ValueError, match="device_negatives=True"):
+            ev.evaluate(model, params, ds, batch_size=32,
+                        progress_bar=False)
