@@ -437,7 +437,13 @@ class BERT4RecEvaluator(BaseEvaluator):
                  progress_bar: bool = True) -> dict:
         """Evaluate over a ProcessedDataset (or an iterable of feature
         batches). ``model`` may be a BERT4RecModelWrapper (params taken from
-        it, reference evaluate signature parity)."""
+        it, reference evaluate signature parity).
+
+        ``seed`` here seeds only the dataset's dynamic masking; the
+        NEGATIVE draws are governed by the constructor's ``seed`` — pass
+        ``BERT4RecEvaluator(..., seed=N)`` for run-to-run-identical
+        negatives (unseeded evaluators draw fresh OS entropy per run,
+        mirroring the host sampler's ``default_rng(None)``)."""
         if params is None and hasattr(model, "params"):
             model, params = model.model, model.params
         self._prepare_sampler()
