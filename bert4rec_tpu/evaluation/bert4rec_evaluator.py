@@ -18,11 +18,41 @@ gather: rank = 1 + #{negatives with logit >= gt logit}.
 """
 
 import warnings
+import weakref
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _PerModelCache:
+    """id(model)-keyed cache whose entries only hit while the SAME model
+    object is alive: each entry stores a weakref to its model, and a lookup
+    that finds a dead or different referent evicts the entry instead of
+    serving a stale compiled closure (CPython reuses ids after GC, so a bare
+    ``id(model)`` key could silently return another model's jit)."""
+
+    def __init__(self):
+        self._entries = {}
+
+    def get(self, model):
+        entry = self._entries.get(id(model))
+        if entry is None:
+            return None
+        ref, value = entry
+        referent = ref() if isinstance(ref, weakref.ref) else ref
+        if referent is model:
+            return value
+        del self._entries[id(model)]
+        return None
+
+    def set(self, model, value):
+        try:
+            ref = weakref.ref(model)
+        except TypeError:  # non-weakrefable model: pin it (identity exact)
+            ref = model
+        self._entries[id(model)] = (ref, value)
 
 from bert4rec_tpu.evaluation import evaluation_metrics as metrics_lib
 from bert4rec_tpu.evaluation.base_evaluator import BaseEvaluator
@@ -81,9 +111,9 @@ class BERT4RecEvaluator(BaseEvaluator):
         self.mesh = mesh
         self.device_negatives = device_negatives
         self.static_shapes = static_shapes
-        self._rank_fn_cache = {}
-        self._fused_fn_cache = {}
-        self._full_fn_cache = {}
+        self._rank_fn_cache = _PerModelCache()
+        self._fused_fn_cache = _PerModelCache()
+        self._full_fn_cache = _PerModelCache()
         self._batch_counter = 0
 
     # ------------------------------------------------------------------ #
@@ -112,8 +142,8 @@ class BERT4RecEvaluator(BaseEvaluator):
         (never materializing [B, P, V] full-vocab logits); falls back to
         full logits + gather for duck-typed models.
         """
-        key = id(model)
-        if key not in self._rank_fn_cache:
+        cached = self._rank_fn_cache.get(model)
+        if cached is None:
             import inspect
             mesh = self.mesh
             has_sc = hasattr(model, "score_candidates")
@@ -142,11 +172,11 @@ class BERT4RecEvaluator(BaseEvaluator):
                 # replicate the (tiny) rank output so every host can read it
                 out_sharding = jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec())
-                self._rank_fn_cache[key] = jax.jit(
-                    ranks, out_shardings=out_sharding)
+                cached = jax.jit(ranks, out_shardings=out_sharding)
             else:
-                self._rank_fn_cache[key] = jax.jit(ranks)
-        return self._rank_fn_cache[key]
+                cached = jax.jit(ranks)
+            self._rank_fn_cache.set(model, cached)
+        return cached
 
     # ------------------------------------------------------------------ #
     # device-side negative sampling (VERDICT r1 #3)
@@ -190,8 +220,7 @@ class BERT4RecEvaluator(BaseEvaluator):
         """One jitted computation per (model, sampler distribution):
         Gumbel-top-k negatives -> candidate scoring -> gt ranks."""
         from bert4rec_tpu.ops import negative_sampling as ns
-        key = id(model)
-        cached = self._fused_fn_cache.get(key)
+        cached = self._fused_fn_cache.get(model)
         if cached is not None:
             # the closure bakes in the distribution: invalidate when the
             # sampler's probs array is no longer the same object (identity,
@@ -222,7 +251,7 @@ class BERT4RecEvaluator(BaseEvaluator):
             fn = jax.jit(fused, out_shardings=out_sharding)
         else:
             fn = jax.jit(fused)
-        self._fused_fn_cache[key] = (probs, fn)
+        self._fused_fn_cache.set(model, (probs, fn))
         return fn
 
     def _build_without_idx(self, labels, gt_ids, valid) -> np.ndarray:
@@ -304,8 +333,7 @@ class BERT4RecEvaluator(BaseEvaluator):
     def _full_rank_fn(self, model):
         """One jitted computation: forward -> count catalog items tying or
         beating the ground truth (``model.gt_ranks_full_vocab``)."""
-        key = id(model)
-        cached = self._full_fn_cache.get(key)
+        cached = self._full_fn_cache.get(model)
         if cached is not None:
             return cached
 
@@ -320,7 +348,7 @@ class BERT4RecEvaluator(BaseEvaluator):
             fn = jax.jit(ranks, out_shardings=out_sharding)
         else:
             fn = jax.jit(ranks)
-        self._full_fn_cache[key] = fn
+        self._full_fn_cache.set(model, fn)
         return fn
 
     def _evaluate_batch_full(self, model, params, batch, labels,

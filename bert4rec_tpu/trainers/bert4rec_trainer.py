@@ -16,6 +16,7 @@ Native rebuild of reference ``bert4rec/trainers/bert4rec_trainer.py:13-68``
   batch is sharded over 'data'. XLA/GSPMD inserts the psum/all-gathers.
 """
 
+import itertools
 import time
 from typing import Optional
 
@@ -378,6 +379,14 @@ class BERT4RecTrainer(BaseTrainer):
             group_k = self.grad_accum_steps if accum else k_call
             raw = train_ds.batches(batch_size, shuffle=True,
                                    seed=seed + epoch, drop_remainder=True)
+            if steps_per_epoch:
+                # exact steps_per_epoch (keras model.fit contract) even under
+                # grouped dispatch: cap the raw stream so the final partial
+                # group runs as single-step calls (multi-step) or is dropped
+                # (accumulation, whose updates must keep a full A group) —
+                # without this, an epoch could overshoot by up to K-1 steps
+                raw = itertools.islice(
+                    raw, steps_per_epoch * (group_k if accum else 1))
             # epoch-tail policy: accumulation DROPS partial groups (a
             # partial group would change the effective batch of its
             # update); multi-step falls back to single-step calls

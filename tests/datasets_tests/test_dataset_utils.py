@@ -104,7 +104,12 @@ class TestBaseDataset:
 
 # ------------------------------------------------------------------------- #
 # golden vocab sizes (reference tests/datalaoders_tests/
-# bert4rec_dataloaders_tests.py:179,222-250) — run only with data on disk
+# bert4rec_dataloaders_tests.py:179,222-250) — run only with data on disk.
+# NOTE: these remain NETWORK-GATED (auto-skip offline). The offline parser
+# fixtures (tests/fixtures/ + test_parser_fixtures.py) exercise format
+# logic on format-exact samples but are NOT a substitute for these
+# golden-stat checks against the real corpora — do not mistake one for
+# the other when reading a green offline suite.
 # ------------------------------------------------------------------------- #
 
 GOLDEN_VOCAB_SIZES = {
