@@ -1,0 +1,223 @@
+"""Non-saturating quality benchmark: planted Markov structure with a
+computable Bayes-optimal oracle.
+
+Why this exists (round-2 verdict, "what's missing" #1): every earlier
+synthetic quality artifact sat at HR@10 0.98-1.0 because the planted rule
+(next-in-cycle) was trivially learnable — a saturated benchmark cannot
+detect a subtle protocol/masking bug that would cost 5-10% NDCG on real
+data. This module plants STOCHASTIC structure instead:
+
+    P(next = j | current = i) = alpha * T[i, j] + (1 - alpha) * pop[j]
+
+where each item ``i`` has ``branching`` random successors with Dirichlet
+weights (``T`` rows) and ``pop`` is a Zipf popularity tail. The Bayes-
+optimal ranking score for the leave-one-out protocol (mask the LAST item;
+reference bert4rec/evaluation/bert4rec_evaluator.py:60-120) is exactly
+``log P(candidate | previous item)`` — first-order Markov data means no
+other context carries information about the final position. The oracle's
+HR@10/NDCG@10 under the identical 101-candidate protocol are therefore
+the *ceiling*: a correct model approaches them from below and cannot
+materially exceed them, and with alpha < 1 the ceiling sits well inside
+(0, 1) — the benchmark cannot saturate.
+
+The oracle is evaluated through :class:`BERT4RecEvaluator` itself (same
+sampler law, same seed, same rank law), so model-vs-oracle is a paired
+comparison under one protocol implementation; any protocol bug moves both
+numbers together EXCEPT bugs the oracle is deliberately blind to, which
+the broken variants below expose:
+
+- ``context_offset=-1``: off-by-one context (scores from the token TWO
+  back) — detects LOO/position misalignment; metrics must collapse
+  toward the popularity mixture floor.
+- evaluating with a uniform ("random") sampler instead of "pop_random"
+  — detects shuffled/wrong negative sampling; sampled metrics must
+  measurably inflate (uniform negatives are easier to beat).
+"""
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+class MarkovCatalog:
+    """The planted generative process + its exact conditional law.
+
+    :param n_items: catalog size (token ids ``n_specials ..
+        n_specials+n_items-1``).
+    :param branching: successors per item (support of each ``T`` row).
+    :param alpha: mixture weight on the transition component; the oracle
+        ceiling rises with alpha (alpha=1: near-deterministic; alpha=0:
+        popularity only).
+    :param zipf_s: popularity tail exponent, ``pop ~ rank^-s`` over a
+        random permutation (id order carries no signal).
+    :param dirichlet: concentration of the successor weights (small =
+        peaky rows, large = flat rows).
+    """
+
+    def __init__(self, n_items: int, branching: int = 8,
+                 alpha: float = 0.6, zipf_s: float = 1.1,
+                 dirichlet: float = 1.0, seed: int = 0,
+                 n_specials: int = 3):
+        rng = np.random.default_rng(seed)
+        self.n_items = int(n_items)
+        self.n_specials = int(n_specials)
+        self.vocab_size = self.n_items + self.n_specials
+        self.branching = int(branching)
+        self.alpha = float(alpha)
+
+        ranks = rng.permutation(self.n_items).astype(np.float64) + 1.0
+        pop = ranks ** -float(zipf_s)
+        self.pop = pop / pop.sum()                        # [n_items]
+
+        # per-item successor supports + Dirichlet weights. Supports are
+        # drawn from POPULARITY (not uniform): successors of observed
+        # items must themselves be observed often enough to learn, and
+        # popularity-weighted supports keep the eval's pop_random
+        # negatives competitive (uniform supports would make every
+        # successor an easy win over popular negatives).
+        self.succ = np.stack([
+            rng.choice(self.n_items, size=self.branching, replace=False,
+                       p=self.pop)
+            for _ in range(self.n_items)]).astype(np.int64)
+        self.w = rng.dirichlet(np.full(self.branching, float(dirichlet)),
+                               size=self.n_items)         # [n_items, B]
+
+    # ------------------------------------------------------------------ #
+    # the exact law
+    # ------------------------------------------------------------------ #
+
+    def next_prob(self) -> np.ndarray:
+        """Dense ``[n_items, n_items]`` conditional
+        ``P(next | current)`` in ITEM space."""
+        m = np.tile(self.pop * (1.0 - self.alpha), (self.n_items, 1))
+        np.add.at(m, (np.repeat(np.arange(self.n_items), self.branching),
+                      self.succ.ravel()),
+                  self.alpha * self.w.ravel())
+        return m
+
+    def log_next_prob_matrix(self) -> np.ndarray:
+        """``[V, V]`` log-conditional in TOKEN space. Rows for special
+        tokens (no usable previous item: sequence start, PAD, MASK, UNK)
+        fall back to the popularity marginal — the Bayes predictor with
+        no context. Special-token columns score ``-inf`` (never a valid
+        next item)."""
+        v, s = self.vocab_size, self.n_specials
+        out = np.full((v, v), NEG_INF, dtype=np.float32)
+        items = np.log(np.maximum(self.next_prob(), 1e-30))
+        out[s:, s:] = items
+        out[:s, s:] = np.log(np.maximum(self.pop, 1e-30))[None, :]
+        return out
+
+    # ------------------------------------------------------------------ #
+    # sampling
+    # ------------------------------------------------------------------ #
+
+    def sample_sequences(self, n: int, min_len: int, max_len: int,
+                         seed: int = 0):
+        """``n`` token-id sequences from the process, lengths uniform in
+        ``[min_len, max_len]``. Vectorized over sequences: one mixture
+        draw per (sequence, step)."""
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(min_len, max_len + 1, size=n)
+        steps = int(lens.max())
+        cur = rng.choice(self.n_items, size=n, p=self.pop)
+        rows = np.empty((n, steps), dtype=np.int64)
+        rows[:, 0] = cur
+        cum_w = np.cumsum(self.w, axis=1)                 # [n_items, B]
+        for t in range(1, steps):
+            use_trans = rng.random(n) < self.alpha
+            # transition component: inverse-CDF over the current rows
+            r = rng.random(n)
+            k = (r[:, None] > cum_w[cur]).sum(axis=1)
+            nxt_trans = self.succ[cur, np.minimum(k, self.branching - 1)]
+            nxt_pop = rng.choice(self.n_items, size=n, p=self.pop)
+            cur = np.where(use_trans, nxt_trans, nxt_pop)
+            rows[:, t] = cur
+        return [(rows[i, :lens[i]] + self.n_specials).astype(np.int32)
+                for i in range(n)]
+
+
+class MarkovOracleScorer:
+    """Bayes-optimal scorer for :class:`MarkovCatalog` data, duck-typed
+    to the evaluator's model interface (like
+    :class:`~bert4rec_tpu.evaluation.baselines.PopularityScorer`).
+
+    ``context_offset=0`` is the correct oracle (conditions on the token
+    immediately before each masked position). ``context_offset=-1`` is
+    the DELIBERATELY BROKEN off-by-one variant — it conditions on the
+    token two back, the mistake an LOO/position bug would make — used to
+    prove the benchmark detects context misalignment.
+    """
+
+    def __init__(self, catalog: MarkovCatalog, context_offset: int = 0):
+        self._logp = jnp.asarray(catalog.log_next_prob_matrix())  # [V, V]
+        self._offset = int(context_offset)
+
+    def _context_rows(self, batch: dict) -> jnp.ndarray:
+        pos = batch["masked_lm_positions"].astype(jnp.int32)
+        prev_idx = jnp.maximum(pos - 1 + self._offset, 0)
+        prev = jnp.take_along_axis(batch["input_word_ids"], prev_idx,
+                                   axis=1)                # [B, P]
+        # a masked position at index 0 reads its own [MASK] token; the
+        # special-token rows of the matrix are the popularity fallback,
+        # which is exactly the no-context Bayes predictor
+        prev = jnp.where(pos + self._offset <= 0,
+                         jnp.ones_like(prev), prev)
+        return jnp.take(self._logp, prev, axis=0)         # [B, P, V]
+
+    # ------------------------------------------------------------------ #
+    # the model interface the evaluator consumes
+    # ------------------------------------------------------------------ #
+
+    def score_candidates(self, params, batch: dict,
+                         candidates: jnp.ndarray,
+                         mesh=None) -> jnp.ndarray:
+        rows = self._context_rows(batch)
+        safe = jnp.clip(candidates, 0, rows.shape[-1] - 1)
+        scores = jnp.take_along_axis(rows, safe, axis=-1)
+        return jnp.where(candidates == safe, scores, NEG_INF)
+
+    def gt_ranks_full_vocab(self, params, inputs: dict, *,
+                            exclude: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
+        """Full-catalog 1-based GT ranks under the oracle ordering, same
+        rank law as ``BERT4RecModel.gt_ranks_full_vocab`` (ties ahead of
+        the ground truth; ``exclude`` ids and specials never compete)."""
+        gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)
+        logits = self._context_rows(inputs)               # [B, P, V]
+        gt = jnp.take_along_axis(logits, gt_ids[..., None], axis=-1)
+        if exclude is not None:
+            from bert4rec_tpu.ops import sharded_topk
+            bias = sharded_topk.exclusion_bias(jnp.asarray(exclude),
+                                               logits.shape[-1])
+            logits = logits + bias[:, None, :]
+        b, p = gt_ids.shape
+        logits = logits.at[jnp.arange(b)[:, None],
+                           jnp.arange(p)[None, :], gt_ids].set(NEG_INF)
+        beaten = jnp.sum((logits >= gt).astype(jnp.int32), axis=-1)
+        return beaten + 1
+
+
+def evaluate_scorer(scorer, params, test_ds, *, source: Sequence[int],
+                    sample_size: int = 100, seed: int = 0,
+                    sampler: str = "pop_random",
+                    batch_size: int = 256) -> dict:
+    """Run any model/scorer through the standard evaluator with a fully
+    pinned sampler — the helper that makes model-vs-oracle a PAIRED
+    comparison (same negatives law, same seed, same rank law).
+
+    ``sampler='random'`` is the deliberately-broken shuffled-negatives
+    variant (uniform instead of popularity-weighted draws)."""
+    from bert4rec_tpu.dataloaders import samplers
+    from bert4rec_tpu.evaluation import BERT4RecEvaluator
+
+    s = samplers.get(sampler, source=list(source),
+                     vocab=list(dict.fromkeys(source)),
+                     sample_size=sample_size, seed=seed)
+    evaluator = BERT4RecEvaluator(sampler=s, sample_size=sample_size,
+                                  seed=seed)
+    return evaluator.evaluate(scorer, params, test_ds,
+                              batch_size=batch_size, progress_bar=False)

@@ -66,3 +66,27 @@ class TestQualityRunHarness:
             "dataset": "x", "results": {"HR@10": 0.5, "NDCG@10": 0.4}})
         payload = json.loads(path.read_text())
         assert payload["results"]["HR@10"] == 0.5
+
+
+class TestOracleMode:
+
+    def test_oracle_presets_and_flags(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "quality_run", "tools/quality_run.py")
+        qr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(qr)
+        args = qr.build_argparser().parse_args(
+            ["--oracle", "--oracle-scale", "ml1m"])
+        assert args.oracle and args.oracle_scale == "ml1m"
+        # every preset carries the generator + training knobs run_oracle
+        # reads, and the ml1m preset matches the ml-1m_128 encoder shape
+        for ps in qr._ORACLE_PRESETS.values():
+            for key in ("n_items", "branching", "alpha", "zipf_s", "seq",
+                        "max_pred", "mask_rate", "train_rows", "test_rows",
+                        "min_len", "epochs", "batch_size", "lr",
+                        "sample_size", "model"):
+                assert key in ps, key
+        ml1m = qr._ORACLE_PRESETS["ml1m"]
+        assert ml1m["n_items"] == 3706 and ml1m["seq"] == 200
+        assert ml1m["model"]["hidden_size"] == 128

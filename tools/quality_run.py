@@ -67,6 +67,18 @@ def build_argparser():
                         "from fresh weights — silently resuming a finished "
                         "checkpoint would re-report old weights as a new "
                         "run (epochs_ran would be 0)")
+    p.add_argument("--oracle", action="store_true",
+                   help="run the NON-SATURATING quality benchmark: planted "
+                        "Markov-mixture structure with a computable Bayes "
+                        "oracle (evaluation/markov_oracle.py). Reports the "
+                        "model/oracle gap plus deliberately-broken variants "
+                        "(off-by-one context, shuffled negatives, wrong "
+                        "training masking rate) that must measurably fail")
+    p.add_argument("--oracle-scale", default="tiny",
+                   choices=["tiny", "ml1m"],
+                   help="--oracle size: 'tiny' (CPU, ~2 min) or 'ml1m' "
+                        "(3706-item catalog, seq 200, ml-1m_128 encoder "
+                        "shape — run on chip)")
     p.add_argument("--full-ranking", action="store_true",
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
@@ -316,8 +328,164 @@ def run_smoke(args):
     return 0
 
 
+# --oracle presets: the non-saturating benchmark at CPU-test scale and at
+# the real ml-1m_128 encoder shape (on-chip). alpha=0.6 puts the Bayes
+# ceiling around HR@10 ~ 0.8 — far from 1.0, so a 5-10% protocol/masking
+# regression is visible instead of hidden under saturation.
+_ORACLE_PRESETS = {
+    "tiny": dict(n_items=512, branching=8, alpha=0.6, zipf_s=1.1,
+                 seq=32, max_pred=8, mask_rate=0.3, train_rows=3000,
+                 test_rows=512, min_len=16, epochs=40, batch_size=128,
+                 lr=1e-3, sample_size=100, model=dict(
+                     hidden_size=64, num_layers=2, num_attention_heads=4,
+                     inner_dim=128)),
+    "ml1m": dict(n_items=3706, branching=8, alpha=0.6, zipf_s=1.1,
+                 seq=200, max_pred=40, mask_rate=0.2, train_rows=8192,
+                 test_rows=1024, min_len=40, epochs=40, batch_size=256,
+                 lr=1e-3, sample_size=100, model=dict(
+                     hidden_size=128, num_layers=2, num_attention_heads=4,
+                     inner_dim=512)),
+}
+
+
+def run_oracle(args):
+    import numpy as np
+    import jax
+    from bert4rec_tpu.dataloaders.processed_dataset import (
+        MaskingConfig, ProcessedDataset,
+    )
+    from bert4rec_tpu.evaluation import PopularityScorer
+    from bert4rec_tpu.evaluation.markov_oracle import (
+        MarkovCatalog, MarkovOracleScorer, evaluate_scorer,
+    )
+    from bert4rec_tpu.models import (
+        BERT4RecConfig, BERT4RecModel, model_utils,
+    )
+    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
+
+    ps = _ORACLE_PRESETS[args.oracle_scale]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    t0 = time.time()
+    cat = MarkovCatalog(n_items=ps["n_items"], branching=ps["branching"],
+                        alpha=ps["alpha"], zipf_s=ps["zipf_s"],
+                        seed=args.seed)
+    train_seqs = cat.sample_sequences(ps["train_rows"], ps["min_len"],
+                                      ps["seq"], seed=args.seed + 1)
+    test_seqs = cat.sample_sequences(ps["test_rows"], ps["min_len"],
+                                     ps["seq"], seed=args.seed + 2)
+    cfg = MaskingConfig(max_seq_len=ps["seq"],
+                        max_predictions_per_seq=ps["max_pred"],
+                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                        masked_lm_rate=ps["mask_rate"])
+    test = ProcessedDataset(test_seqs, cfg, lambda: cat.vocab_size,
+                            finetuning=np.ones(len(test_seqs), bool))
+    source = [int(t) for s in train_seqs for t in s]
+    counts = np.bincount(source, minlength=cat.vocab_size)
+
+    def r4(d, keys=("HR@1", "HR@5", "HR@10", "NDCG@10", "MAP")):
+        return {k: round(float(d[k]), 4) for k in keys if k in d}
+
+    def train_model(mask_rate, tag):
+        mcfg = MaskingConfig(max_seq_len=ps["seq"],
+                             max_predictions_per_seq=ps["max_pred"],
+                             mask_token_id=1, pad_token_id=0,
+                             unk_token_id=2, masked_lm_rate=mask_rate)
+        train = ProcessedDataset(train_seqs, mcfg, lambda: cat.vocab_size)
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=cat.vocab_size, max_sequence_length=ps["seq"],
+            max_predictions_per_seq=ps["max_pred"],
+            use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
+        params = model_utils.init_output_bias_from_popularity(
+            model.init(jax.random.key(args.seed)), counts)
+        trainer = BERT4RecTrainer(model,
+                                  steps_per_call=4 if on_tpu else 1)
+        trainer.initialize_model(
+            optimizer=optimizers.create_adam_w_optimizer(
+                init_lr=ps["lr"], num_train_steps=400_000,
+                num_warmup_steps=100),
+            params=params)
+        trainer.train(train, epochs=ps["epochs"],
+                      batch_size=ps["batch_size"], verbose=False,
+                      seed=args.seed)
+        res = evaluate_scorer(model, trainer.params, test, source=source,
+                              sample_size=ps["sample_size"], seed=0,
+                              batch_size=ps["batch_size"])
+        print(f"[oracle-bench] {tag}: {r4(res)}")
+        return res
+
+    oracle = evaluate_scorer(MarkovOracleScorer(cat), None, test,
+                             source=source, sample_size=ps["sample_size"],
+                             seed=0, batch_size=ps["batch_size"])
+    print(f"[oracle-bench] bayes oracle: {r4(oracle)}")
+    floor = evaluate_scorer(
+        PopularityScorer.from_source(source, cat.vocab_size), None, test,
+        source=source, sample_size=ps["sample_size"], seed=0,
+        batch_size=ps["batch_size"])
+    off_by_one = evaluate_scorer(
+        MarkovOracleScorer(cat, context_offset=-1), None, test,
+        source=source, sample_size=ps["sample_size"], seed=0,
+        batch_size=ps["batch_size"])
+    shuffled = evaluate_scorer(
+        MarkovOracleScorer(cat), None, test, source=source,
+        sample_size=ps["sample_size"], seed=0, sampler="random",
+        batch_size=ps["batch_size"])
+
+    res_model = train_model(ps["mask_rate"], "trained model")
+    # train-side broken variant: a near-zero masking rate leaves ONE
+    # masked position per sequence (rates above max_pred/len are capped
+    # by max_predictions_per_seq, so "too high" is not observable) —
+    # ~7x less training signal at the same epoch budget, which the
+    # benchmark must see as a measurable quality drop
+    res_broken_mask = train_model(0.02, "broken masking-rate 0.02")
+
+    gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
+    gap_ndcg = (float(res_model["NDCG@10"])
+                / max(float(oracle["NDCG@10"]), 1e-9))
+    checks = {
+        "oracle_non_saturated": 0.5 <= float(oracle["HR@10"]) <= 0.95,
+        "oracle_clears_floor":
+            float(oracle["HR@10"]) >= float(floor["HR@10"]) + 0.1,
+        "model_reaches_80pct_of_oracle_hr10": gap_hr >= 0.80,
+        "model_does_not_beat_bayes":
+            float(res_model["HR@10"]) <= float(oracle["HR@10"]) + 0.05,
+        "off_by_one_collapses":
+            float(off_by_one["HR@10"]) <= 0.8 * float(oracle["HR@10"]),
+        "shuffled_negatives_inflate":
+            float(shuffled["HR@10"]) >= float(oracle["HR@10"]) + 0.01,
+        "wrong_masking_rate_degrades":
+            float(res_broken_mask["HR@10"])
+            <= float(res_model["HR@10"]) - 0.03,
+    }
+    out_default = f"quality_runs/oracle_{args.oracle_scale}"
+    emit(args.out or out_default, {
+        "dataset": f"markov-oracle benchmark ({args.oracle_scale})",
+        "platform": jax.devices()[0].platform,
+        "generator": {k: ps[k] for k in
+                      ("n_items", "branching", "alpha", "zipf_s", "seq",
+                       "mask_rate", "train_rows", "test_rows", "epochs")},
+        "wall_seconds": time.time() - t0,
+        "results": {k: float(v) for k, v in res_model.items()},
+        "results_bayes_oracle": {k: float(v) for k, v in oracle.items()},
+        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
+        "results_broken_off_by_one":
+            {k: float(v) for k, v in off_by_one.items()},
+        "results_broken_shuffled_negatives":
+            {k: float(v) for k, v in shuffled.items()},
+        "results_broken_masking_rate":
+            {k: float(v) for k, v in res_broken_mask.items()},
+        "oracle_gap": {"HR@10_ratio": round(gap_hr, 4),
+                       "NDCG@10_ratio": round(gap_ndcg, 4)},
+        "checks": checks,
+    })
+    ok = all(checks.values())
+    print(json.dumps({"oracle_checks_passed": ok, **checks}))
+    return 0 if ok else 1
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.oracle:
+        return run_oracle(args)
     return run_smoke(args) if args.smoke else run_real(args)
 
 
