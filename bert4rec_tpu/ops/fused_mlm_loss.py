@@ -7,8 +7,13 @@ metrics' argmax. This kernel computes logits tile-by-tile in VMEM and
 reduces them immediately:
 
 forward:  per row-tile: logits = hidden @ table^T + bias (vocab-padding
-          columns masked), logsumexp, one-hot label logit, masked-SCCE
-          loss sum, argmax-correct counts — HBM never sees a logits tensor.
+          columns killed by NEG_INF pre-folded into the bias on the host —
+          no per-tile mask pass), logsumexp, one-hot label logit,
+          masked-SCCE loss sum, correct counts — HBM never sees a logits
+          tensor. "correct" is label_logit >= row_max, i.e. "the label IS
+          the argmax" without an argmax pass (identical to argmax == label
+          up to exact fp ties, a measure-zero event; ties count correct
+          here, incorrect under first-index argmax).
 backward: recomputes the tile's softmax and emits
           dhidden = dlog @ table, dtable += dlog^T hidden, dbias += Σ dlog
           with dlog = w/n_valid * (softmax - onehot); the weight grads
@@ -45,13 +50,28 @@ def fused_loss_supported(v_padded: int, width: int) -> bool:
     return estimate_vmem_bytes(v_padded, width) <= VMEM_BUDGET_BYTES
 
 
-# flash-softmax variant tiling. The whole table streams through VMEM once
-# per ROW TILE (x3 sweeps with backward), so a taller row tile directly
-# divides table HBM traffic; VTILE shrinks to keep the [R, VTILE] logits
-# tiles inside VMEM (working set at W=256: table block 1 MB + dt block
-# 1 MB + ~3 live [512, 1024] fp32 logits tiles 6 MB)
+# flash-softmax variant tiling. The FORWARD streams the whole table
+# through VMEM once per ROW TILE, so a taller row tile divides table HBM
+# traffic (the merged backward streams it once total). NOTE the measured
+# bottleneck at Reddit scale is VPU passes over the logits tiles, not
+# bandwidth — see docs/ARCHITECTURE.md "Reddit-scale tiled-loss roofline".
+# VTILE keeps the [R, VTILE] fp32 logits tiles inside VMEM (~4 MB each at
+# R=1024; the VTILE=2048 probe overflows Mosaic VMEM).
 VTILE = 1024
-ROW_TILE_TILED = 512
+ROW_TILE_TILED = 1024
+
+# Stream the table through the grid at COMPUTE precision. Every kernel
+# casts each table block to hidden.dtype right after load, so pre-casting
+# the whole table once outside the pallas_call is bit-identical — it only
+# changes how many bytes the grid streams from HBM (2x fewer under the
+# bf16 policy). Module-level so A/B harnesses can flip it per-trace.
+STREAM_AT_COMPUTE_PRECISION = True
+
+
+def _stream_table(table, hidden):
+    if STREAM_AT_COMPUTE_PRECISION:
+        return table.astype(hidden.dtype)
+    return table
 
 
 def fused_loss_available(v_padded: int, width: int) -> bool:
@@ -69,25 +89,34 @@ def _row_iota(n, v):
     return jax.lax.broadcasted_iota(jnp.int32, (n, v), 1)
 
 
-def _tile_logits(hidden, table, bias, vocab_size, v_padded):
-    logits = jax.lax.dot_general(
+def _mask_bias(bias, vocab_size):
+    """NEG_INF on columns at/after the true vocab size — folded into the
+    bias ONCE on the host so no kernel pays a [R, V]-wide mask pass per
+    grid cell (the step is VPU-bound at large vocab; every elementwise
+    sweep over the logits tile counts). exp(logit + NEG_INF - m)
+    underflows to exactly 0, so losses/grads match the masked-logits
+    formulation bit-for-bit."""
+    if bias.shape[0] <= vocab_size:
+        return bias
+    col = jnp.arange(bias.shape[0])
+    return jnp.where(col >= vocab_size, NEG_INF, bias)
+
+
+def _tile_logits(hidden, table, bias):
+    return jax.lax.dot_general(
         hidden, table, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + bias
-    if v_padded > vocab_size:
-        col = _row_iota(hidden.shape[0], v_padded)
-        logits = jnp.where(col >= vocab_size, NEG_INF, logits)
-    return logits  # [R, Vp] fp32
+        preferred_element_type=jnp.float32) + bias  # [R, Vp] fp32
 
 
 def _fwd_kernel(hidden_ref, table_ref, bias_ref, labels_ref,
-                loss_ref, cv_ref, ca_ref, nv_ref, *, vocab_size, v_padded):
+                loss_ref, cv_ref, ca_ref, nv_ref, *, v_padded):
     # everything stays rank-2: Mosaic cannot lower 1-D vector reductions
     # ("Not implemented: Offset change" on vector<1xN> multi_reduction)
     i = pl.program_id(0)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
     labels = labels_ref[:]                              # [R, 1] int32
-    logits = _tile_logits(hidden, table, bias_ref[0], vocab_size, v_padded)
+    logits = _tile_logits(hidden, table, bias_ref[0])
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
@@ -97,8 +126,10 @@ def _fwd_kernel(hidden_ref, table_ref, bias_ref, labels_ref,
     w = (labels > 0).astype(jnp.float32)  # [R, 1]; 0 = pad, -1 = tile pad
     nll = (lse - label_logit) * w
 
-    pred = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-    correct = (pred == labels).astype(jnp.float32)
+    # "the label is the argmax" without an argmax pass; tile-pad rows
+    # (label -1) never match a column so their label_logit is 0 — the
+    # labels >= 0 guard keeps them out of the all-rows accuracy count
+    correct = ((label_logit >= m) & (labels >= 0)).astype(jnp.float32)
 
     @pl.when(i == 0)
     def _():
@@ -114,12 +145,12 @@ def _fwd_kernel(hidden_ref, table_ref, bias_ref, labels_ref,
 
 
 def _bwd_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
-                g_ref, dh_ref, dt_ref, db_ref, *, vocab_size, v_padded):
+                g_ref, dh_ref, dt_ref, db_ref, *, v_padded):
     i = pl.program_id(0)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
     labels = labels_ref[:]                              # [R, 1] int32
-    logits = _tile_logits(hidden, table, bias_ref[0], vocab_size, v_padded)
+    logits = _tile_logits(hidden, table, bias_ref[0])
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -164,10 +195,11 @@ def _run_forward(hidden, table, bias, labels, vocab_size, interpret):
         # padded rows get label -1: zero loss weight AND never argmax-correct
         labels = labels.at[n:].set(-1)
     rows, w = hidden.shape
+    table = _stream_table(table, hidden)
+    bias = _mask_bias(bias, vocab_size)
     v_padded = table.shape[0]
     tiles = rows // ROW_TILE
-    kernel = functools.partial(_fwd_kernel, vocab_size=vocab_size,
-                               v_padded=v_padded)
+    kernel = functools.partial(_fwd_kernel, v_padded=v_padded)
     out = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -196,10 +228,11 @@ def _run_backward(hidden, table, bias, labels, g, nvalid, vocab_size,
     (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE), \
         _pad_rows(labels, ROW_TILE)
     rows, w = hidden_p.shape
+    table = _stream_table(table, hidden)
+    bias = _mask_bias(bias, vocab_size)
     v_padded = table.shape[0]
     tiles = rows // ROW_TILE
-    kernel = functools.partial(_bwd_kernel, vocab_size=vocab_size,
-                               v_padded=v_padded)
+    kernel = functools.partial(_bwd_kernel, v_padded=v_padded)
     dh, dt, db = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -297,50 +330,63 @@ def mlm_loss_and_metrics(hidden, table, bias, labels, vocab_size,
 # --------------------------------------------------------------------------- #
 #
 # forward: grid (row_tiles, v_tiles), v innermost. Per row tile, an online
-# logsumexp/argmax runs across the vocab tiles (stats live in revisited
+# logsumexp runs across the vocab tiles (stats live in revisited
 # [1, R, 1] output blocks, resident in VMEM for the whole inner sweep); the
 # loss/metric scalars and the final per-row lse emit at the last tile.
-# backward: TWO recompute sweeps (the flash-attention trick — a single 2-D
-# grid cannot keep both dh (accumulated over v) and dt (accumulated over
-# rows) in consecutively-revisited blocks):
+# Accuracy is label_logit >= running_max — no argmax stat (the argmax pass
+# was a pure-metric VPU cost on the vocab-scaled hot loop).
+# backward: ONE recompute sweep when the whole [rows, W] dh gradient fits
+# in VMEM as a grid-resident output block (constant index map -> written
+# back once at grid end): grid (v_tiles, row_tiles) accumulates dt/db in
+# consecutively-revisited blocks (resident across the inner row sweep) and
+# scatters dh row-slices into the resident dh block — p = exp(logits-lse)
+# and the dlog tile are computed ONCE instead of once per output operand.
+# When dh is too large for residency (rows x W x 4 > _MERGED_DH_BYTES),
+# fall back to TWO recompute sweeps (the flash-attention trick — without a
+# resident dh, a single 2-D grid cannot keep both dh (accumulated over v)
+# and dt (accumulated over rows) in consecutively-revisited blocks):
 #   dh sweep: grid (row_tiles, v_tiles) — dh block i accumulates over j;
 #   dt sweep: grid (v_tiles, row_tiles) — dt/db blocks j accumulate over i.
-# Both recompute p = exp(logits - lse) from the forward's saved lse.
+# All sweeps recompute p from the forward's saved lse.
+
+# merged-backward applicability: the fp32 dh must stay VMEM-resident for
+# the whole grid next to the [BWD_ROW_TILE, VTILE] fp32 logits/dlog tiles
+_MERGED_DH_BYTES = 6 * 1024 * 1024
+# Reddit-scale A/B on v5e (B=256, P=40, 335k vocab): merged backward at
+# row tile 1024 = 41.3 ms/step vs 42.9 (512) / 43.9 (256) / 48.7
+# (two-sweep) — Mosaic keeps the live set (logits + p + dlog tiles +
+# resident dh + dt) inside VMEM at 1024x1024 tiles with W=128
+BWD_ROW_TILE = 1024
 
 
-def _tile_logits_at(hidden, table, bias, labels_like, col0, vocab_size):
+def _tile_logits_at(hidden, table, bias, col0):
     logits = jax.lax.dot_general(
         hidden, table, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias
     col = col0 + _row_iota(hidden.shape[0], logits.shape[1])
-    logits = jnp.where(col >= vocab_size, NEG_INF, logits)
     return logits, col
 
 
 def _fwd_kernel_tiled(hidden_ref, table_ref, bias_ref, labels_ref,
                       loss_ref, cv_ref, ca_ref, nv_ref, lse_ref,
-                      m_ref, s_ref, ll_ref, arg_ref,
-                      *, vocab_size, n_vtiles):
+                      m_ref, s_ref, ll_ref,
+                      *, n_vtiles):
     i, j = pl.program_id(0), pl.program_id(1)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
     labels = labels_ref[:]                                # [R, 1]
-    logits, col = _tile_logits_at(hidden, table, bias_ref[0],
-                                  labels, j * VTILE, vocab_size)
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0], j * VTILE)
 
     t_m = jnp.max(logits, axis=-1, keepdims=True)         # [R, 1]
     t_s = jnp.sum(jnp.exp(logits - t_m), axis=-1, keepdims=True)
     onehot = (col == labels).astype(jnp.float32)
     t_ll = jnp.sum(logits * onehot, axis=-1, keepdims=True)
-    t_arg = (j * VTILE + jnp.argmax(logits, axis=-1, keepdims=True)
-             ).astype(jnp.float32)
 
     @pl.when(j == 0)
     def _():
         m_ref[0] = t_m
         s_ref[0] = t_s
         ll_ref[0] = t_ll
-        arg_ref[0] = t_arg
 
     @pl.when(j > 0)
     def _():
@@ -350,7 +396,6 @@ def _fwd_kernel_tiled(hidden_ref, table_ref, bias_ref, labels_ref,
                     + t_s * jnp.exp(t_m - new_m))
         # the label lives in exactly one tile; elsewhere t_ll is 0
         ll_ref[0] += t_ll
-        arg_ref[0] = jnp.where(t_m > m_prev, t_arg, arg_ref[0])
         m_ref[0] = new_m
 
     @pl.when((i == 0) & (j == 0))
@@ -366,7 +411,8 @@ def _fwd_kernel_tiled(hidden_ref, table_ref, bias_ref, labels_ref,
         lse_ref[0] = lse
         w = (labels > 0).astype(jnp.float32)
         nll = (lse - ll_ref[0]) * w
-        correct = (arg_ref[0].astype(jnp.int32) == labels).astype(
+        # label-is-argmax without an argmax pass (see _fwd_kernel)
+        correct = ((ll_ref[0] >= m_ref[0]) & (labels >= 0)).astype(
             jnp.float32)
         loss_ref[0, 0] += jnp.sum(nll)
         cv_ref[0, 0] += jnp.sum(correct * w)
@@ -390,11 +436,12 @@ def _tiled_fwd_call(hidden, table, bias, labels, vocab_size, interpret):
     if labels.shape[0] > n:
         labels = labels.at[n:].set(-1)
     table, bias, _ = _pad_vocab(table, bias)
+    table = _stream_table(table, hidden)
+    bias = _mask_bias(bias, vocab_size)
     rows, w = hidden.shape
     vp = table.shape[0]
     tiles, vtiles = rows // ROW_TILE_TILED, vp // VTILE
-    kernel = functools.partial(_fwd_kernel_tiled, vocab_size=vocab_size,
-                               n_vtiles=vtiles)
+    kernel = functools.partial(_fwd_kernel_tiled, n_vtiles=vtiles)
     stat = pl.BlockSpec((1, ROW_TILE_TILED, 1), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -412,9 +459,9 @@ def _tiled_fwd_call(hidden, table, bias, labels, vocab_size, interpret):
         ],
         out_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)] * 4
-        + [stat] * 5,
+        + [stat] * 4,
         out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 4
-        + [jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, 1), jnp.float32)] * 5,
+        + [jax.ShapeDtypeStruct((tiles, ROW_TILE_TILED, 1), jnp.float32)] * 4,
         interpret=interpret,
     )(hidden.reshape(tiles, ROW_TILE_TILED, w), table, bias.reshape(1, -1),
       labels.reshape(rows, 1))
@@ -435,25 +482,124 @@ def _run_forward_tiled_stats(hidden, table, bias, labels, vocab_size,
     vocab-SHARDED loss, which combines stats across shards with
     pmax/psum before forming the loss (ops/sharded_mlm_loss.py).
 
-    :returns: ``(m, s, ll, arg)`` each ``[n, 1]`` fp32 — running max,
-        sum-exp at ``m``, label logit (0 if the label is not local), and
-        the local argmax index (as float)
+    :returns: ``(m, s, ll)`` each ``[n, 1]`` fp32 — running max, sum-exp
+        at ``m``, and label logit (0 if the label is not local). The
+        caller reconstructs correctness as psum(ll) >= pmax(m) — "the
+        label is the global argmax" — so no argmax stat is needed.
     """
     out, rows, n = _tiled_fwd_call(hidden, table, bias, labels, vocab_size,
                                    interpret)
-    m, s, ll, arg = (o.reshape(rows, 1)[:n] for o in out[5:9])
-    return m, s, ll, arg
+    m, s, ll = (o.reshape(rows, 1)[:n] for o in out[5:8])
+    return m, s, ll
+
+
+def _bwd_merged_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref,
+                       labels_ref, lse_ref, g_ref, dh_ref, dt_ref, db_ref,
+                       *, row_tile, valid_ge_zero=False):
+    # grid (v_tiles, row_tiles): dt/db blocks (j) are resident across the
+    # inner row sweep; dh is ONE whole-rows block (constant index map),
+    # resident for the entire grid and written back once at the end
+    j, i = pl.program_id(0), pl.program_id(1)
+    hidden = hidden_ref[0]
+    table = table_ref[:].astype(hidden.dtype)
+    labels = labels_ref[:]
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0], j * VTILE)
+    p = jnp.exp(logits - lse_ref[0])
+    onehot = (col == labels).astype(jnp.float32)
+    w = ((labels >= 0) if valid_ge_zero else (labels > 0)).astype(
+        jnp.float32)
+    scale = g_ref[0, 0] / jnp.maximum(nvalid_ref[0, 0], 1.0)
+    dlog = (p - onehot) * (w * scale)
+    dlog_t = dlog.astype(hidden.dtype)
+
+    dh_update = jax.lax.dot_general(
+        dlog_t, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rows_slice = pl.ds(i * row_tile, row_tile)
+
+    @pl.when(j == 0)
+    def _():
+        dh_ref[rows_slice, :] = dh_update
+
+    @pl.when(j > 0)
+    def _():
+        dh_ref[rows_slice, :] += dh_update
+
+    @pl.when(i == 0)
+    def _():
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dt_ref[:] += jax.lax.dot_general(
+        dlog_t, hidden, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[0] += jnp.sum(dlog, axis=0)
+
+
+def _run_backward_merged(hidden, table, bias, labels, lse, g, nvalid,
+                         vocab_size, interpret, valid_ge_zero=False):
+    (hidden_p, n), (labels_p, _) = _pad_rows(hidden, BWD_ROW_TILE), \
+        _pad_rows(labels, BWD_ROW_TILE)
+    if labels_p.shape[0] > n:
+        labels_p = labels_p.at[n:].set(-1)
+    lse_p, _ = _pad_rows(lse, BWD_ROW_TILE)
+    table_p, bias_p, v_orig = _pad_vocab(table, bias)
+    table_p = _stream_table(table_p, hidden)
+    bias_p = _mask_bias(bias_p, vocab_size)
+    rows, w = hidden_p.shape
+    vp = table_p.shape[0]
+    tiles, vtiles = rows // BWD_ROW_TILE, vp // VTILE
+    smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+
+    dh, dt, db = pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, row_tile=BWD_ROW_TILE,
+                          valid_ge_zero=valid_ge_zero),
+        grid=(vtiles, tiles),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, BWD_ROW_TILE, w), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((VTILE, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BWD_ROW_TILE, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BWD_ROW_TILE, 1), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem,
+        ],
+        out_specs=[
+            # fp32 accumulators; dh's constant index map keeps the whole
+            # [rows, W] gradient grid-resident in VMEM
+            pl.BlockSpec((rows, w), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((VTILE, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VTILE), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, w), jnp.float32),
+            jax.ShapeDtypeStruct((vp, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(nvalid, (1, 1)).astype(jnp.float32),
+      hidden_p.reshape(tiles, BWD_ROW_TILE, w), table_p,
+      bias_p.reshape(1, -1), labels_p.reshape(rows, 1),
+      lse_p.reshape(tiles, BWD_ROW_TILE, 1),
+      jnp.reshape(g, (1, 1)).astype(jnp.float32))
+    return dh[:n], dt[:v_orig], db.reshape(-1)[:v_orig]
 
 
 def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
-                   lse_ref, g_ref, dh_ref, *, vocab_size,
-                   valid_ge_zero=False):
+                   lse_ref, g_ref, dh_ref, *, valid_ge_zero=False):
     j = pl.program_id(1)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
     labels = labels_ref[:]
-    logits, col = _tile_logits_at(hidden, table, bias_ref[0],
-                                  labels, j * VTILE, vocab_size)
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0], j * VTILE)
     p = jnp.exp(logits - lse_ref[0])                      # masked cols -> 0
     onehot = (col == labels).astype(jnp.float32)
     # sharded callers re-encode labels (local index / positive sentinel for
@@ -473,16 +619,15 @@ def _bwd_dh_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
 
 def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
-                   lse_ref, g_ref, dt_ref, db_ref, *, vocab_size,
-                   valid_ge_zero=False):
+                   lse_ref, g_ref, dt_ref, db_ref, *, valid_ge_zero=False):
     # grid is (v_tiles, row_tiles): block j is the OUTER dim here so the
     # dt/db accumulators stay resident across the inner row sweep
     i = pl.program_id(1)
     hidden = hidden_ref[0]
     table = table_ref[:].astype(hidden.dtype)
     labels = labels_ref[:]
-    logits, col = _tile_logits_at(hidden, table, bias_ref[0], labels,
-                                  pl.program_id(0) * VTILE, vocab_size)
+    logits, col = _tile_logits_at(hidden, table, bias_ref[0],
+                                  pl.program_id(0) * VTILE)
     p = jnp.exp(logits - lse_ref[0])
     onehot = (col == labels).astype(jnp.float32)
     w = ((labels >= 0) if valid_ge_zero else (labels > 0)).astype(
@@ -503,12 +648,19 @@ def _bwd_dt_kernel(nvalid_ref, hidden_ref, table_ref, bias_ref, labels_ref,
 
 def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
                         vocab_size, interpret, valid_ge_zero=False):
+    rows_padded = hidden.shape[0] + ((-hidden.shape[0]) % BWD_ROW_TILE)
+    if rows_padded * hidden.shape[1] * 4 <= _MERGED_DH_BYTES:
+        return _run_backward_merged(hidden, table, bias, labels, lse, g,
+                                    nvalid, vocab_size, interpret,
+                                    valid_ge_zero)
     (hidden_p, n), (labels_p, _) = _pad_rows(hidden, ROW_TILE_TILED), \
         _pad_rows(labels, ROW_TILE_TILED)
     if labels_p.shape[0] > n:
         labels_p = labels_p.at[n:].set(-1)
     lse_p, _ = _pad_rows(lse, ROW_TILE_TILED)
     table_p, bias_p, v_orig = _pad_vocab(table, bias)
+    table_p = _stream_table(table_p, hidden)
+    bias_p = _mask_bias(bias_p, vocab_size)
     rows, w = hidden_p.shape
     vp = table_p.shape[0]
     tiles, vtiles = rows // ROW_TILE_TILED, vp // VTILE
@@ -520,8 +672,7 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
     smem = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
 
     dh = pl.pallas_call(
-        functools.partial(_bwd_dh_kernel, vocab_size=vocab_size,
-                          valid_ge_zero=valid_ge_zero),
+        functools.partial(_bwd_dh_kernel, valid_ge_zero=valid_ge_zero),
         grid=(tiles, vtiles),
         in_specs=[
             smem,
@@ -547,8 +698,7 @@ def _run_backward_tiled(hidden, table, bias, labels, lse, g, nvalid,
     )(*scalars, *args)
 
     dt, db = pl.pallas_call(
-        functools.partial(_bwd_dt_kernel, vocab_size=vocab_size,
-                          valid_ge_zero=valid_ge_zero),
+        functools.partial(_bwd_dt_kernel, valid_ge_zero=valid_ge_zero),
         grid=(vtiles, tiles),
         in_specs=[
             smem,

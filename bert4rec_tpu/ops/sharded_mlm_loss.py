@@ -7,16 +7,17 @@ vocab-tiled flash-softmax kernels (ops/fused_mlm_loss.py) *per shard* under
 ``jax.shard_map`` and combines only the tiny per-row statistics across the
 'model' axis:
 
-    forward:  each shard sweeps its local table block -> (m, s, ll, arg)
+    forward:  each shard sweeps its local table block -> (m, s, ll)
               per row; lse = pmax/psum-combined online logsumexp; the loss,
               metrics and per-row lse fall out — no logits in HBM anywhere.
+              Accuracy is psum(label_logit) >= pmax(m), the same
+              label-is-argmax formulation as the unsharded kernels.
     backward: each shard recomputes p = exp(logits_local - lse) tile-wise;
               dtable/dbias stay shard-local, dhidden is one psum.
 
 Semantics match the unsharded kernels (and trainers/trainer_utils.py)
-exactly; the only divergence is cross-shard argmax tie-breaking for the
-accuracy metric (ties pick the larger index instead of the smaller — a
-measure-zero event for real logits).
+exactly; the only divergence from first-index argmax is exact fp ties for
+the max (counted correct here — a measure-zero event for real logits).
 
 The collectives ride the 'model' axis only; the batch ('data') axis is
 reduced once at the end for the scalar outputs, so DPxTP meshes work
@@ -60,27 +61,28 @@ def _fwd_block(hidden_l, table_l, bias_l, labels_l, *, vocab_size,
     v_local = table_l.shape[0]
     offset = _shard_offset(v_local)
     lab_local = labels_l.astype(jnp.int32) - offset
-    in_shard = ((labels_l > 0) & (lab_local >= 0) & (lab_local < v_local))
+    # ownership only (label 0 included): the owner shard must report the
+    # label-0 logit so the all-rows accuracy metric keeps parity with the
+    # unsharded/XLA paths. The loss weight (labels > 0) is applied below.
+    in_shard = ((labels_l >= 0) & (lab_local >= 0) & (lab_local < v_local))
     # remote/invalid labels -> -2: never matches a column, never counts
     lab_fwd = jnp.where(in_shard, lab_local, -2)
     bias_m = _mask_local_bias(bias_l, offset, vocab_size)
 
-    m, s, ll, arg = fml._run_forward_tiled_stats(
+    m, s, ll = fml._run_forward_tiled_stats(
         hidden_l, table_l, bias_m, lab_fwd, v_local, interpret)
 
     big_m = jax.lax.pmax(m, MODEL_AXIS)
     big_s = jax.lax.psum(s * jnp.exp(m - big_m), MODEL_AXIS)
     lse = big_m + jnp.log(big_s)                            # [R, 1]
     label_logit = jax.lax.psum(ll, MODEL_AXIS)
-    # global argmax: the owner shard's m equals the pmax; ties pick the
-    # larger global index
-    cand = jnp.where(m == big_m, arg + offset, -1.0)
-    arg_g = jax.lax.pmax(cand, MODEL_AXIS).astype(jnp.int32)
 
     labels_col = labels_l.astype(jnp.int32)[:, None]
     w = (labels_col > 0).astype(jnp.float32)
     nll = (lse - label_logit) * w
-    correct = (arg_g == labels_col).astype(jnp.float32)
+    # "the label is the global argmax": its logit reaches the global max
+    # (exactly the unsharded kernels' formulation — no argmax stat)
+    correct = (label_logit >= big_m).astype(jnp.float32)
 
     # reduce the scalars over the data axis so every device agrees
     def data_sum(x):

@@ -287,8 +287,65 @@ def verify_tiled_loss(vs=26732, v=26752):
     print(f"TILED LOSS TPU CHECKS PASSED (vocab {vs})")
 
 
+def verify_tiled_loss_bf16(vs=26732, v=26752):
+    """Quantify the bf16-policy cost of the vocab-tiled loss (VERDICT r2
+    next-step #2): under DTypePolicy.bf16 the kernel computes logits from
+    bf16 hidden x bf16 table blocks (the table is pre-cast once so the
+    grid streams half the bytes — ops/fused_mlm_loss.py _stream_table).
+
+    Two comparisons:
+      (a) kernel-vs-XLA at the SAME bf16 policy (both form logits from
+          bf16 operands with fp32 accumulation) — must agree tightly;
+      (b) both vs the all-fp32 oracle — the cost of bf16 itself, reported
+          and bounded loosely (input rounding, not kernel error).
+    """
+    import jax.numpy as jnp
+    from bert4rec_tpu.ops.fused_mlm_loss import fused_mlm_loss_tiled
+    from bert4rec_tpu.trainers import trainer_utils
+
+    rng = np.random.default_rng(1)
+    rows, w = 300, 128
+    hidden32 = rng.normal(size=(rows, w)).astype(np.float32)
+    hidden = jnp.asarray(hidden32).astype(jnp.bfloat16)
+    table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
+    labels_np = rng.integers(0, vs, size=rows).astype(np.int32)
+    labels_np[::9] = 0
+    labels = jnp.asarray(labels_np)
+
+    def loss_tiled(h, t, b):
+        return fused_mlm_loss_tiled(h, t, b, labels, vs, False)[0]
+
+    def xla_loss(h, t, b):
+        logits = (h @ t.astype(h.dtype).T).astype(jnp.float32)[None] + b
+        col = jnp.arange(t.shape[0])[None, None, :]
+        logits = jnp.where(col >= vs, -1e9, logits)
+        return trainer_utils.masked_sparse_categorical_crossentropy(
+            labels[None], logits)
+
+    lt = float(jax.jit(loss_tiled)(hidden, table, bias))
+    lx = float(jax.jit(xla_loss)(hidden, table, bias))
+    l32 = float(jax.jit(xla_loss)(jnp.asarray(hidden32), table, bias))
+    print(f"bf16 tiled loss: kernel {lt:.6f}  xla-bf16 {lx:.6f}  "
+          f"fp32-oracle {l32:.6f}")
+    assert abs(lt - lx) < 2e-3, "kernel disagrees with same-policy XLA"
+    assert abs(lt - l32) / max(abs(l32), 1e-9) < 2e-2, \
+        "bf16 policy cost exceeds expected rounding envelope"
+
+    gt = jax.jit(jax.grad(loss_tiled, argnums=(1, 2)))(hidden, table, bias)
+    g32 = jax.jit(jax.grad(xla_loss, argnums=(1, 2)))(
+        jnp.asarray(hidden32), table, bias)
+    for name, a, b in zip(("t", "b"), gt, g32):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        print(f"bf16 tiled grad d{name} rel err vs fp32 oracle {rel:.2e}")
+        assert rel < 5e-2, name
+    print(f"BF16 TILED LOSS QUANTIFIED (vocab {vs})")
+
+
 if __name__ == "__main__":
     main()
     verify_fused_layer()
     verify_tiled_loss()
     verify_tiled_loss_reddit()
+    verify_tiled_loss_bf16()
