@@ -31,6 +31,24 @@ NEG_INF = -1e9
 # beyond this, the single-block kernel would not fit VMEM; use XLA
 MAX_FUSED_SEQ_LEN = 1024
 
+# per-cell VMEM estimate: ~12 live [S, S] fp32 intermediates across the
+# fwd/bwd softmax pipelines + the q/k/v/do/output head blocks. Calibrated
+# against a measured Mosaic failure: 12 heads x S=512 x D=64 bf16
+# estimated 17.3 MB here and failed at 18 MB actual (16 MB limit)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _heads_per_cell(n, s, d, itemsize):
+    """Largest divisor of n whose (batch-element, head-group) cell fits
+    VMEM — all heads for the shipped S<=200 shapes, fewer at
+    reference-default scale (12 heads, S=512)."""
+    for hpc in range(n, 0, -1):
+        if n % hpc:
+            continue
+        if 12 * s * s * 4 + 8 * hpc * s * d * itemsize <= _VMEM_BUDGET:
+            return hpc
+    return 1
+
 
 # --------------------------------------------------------------------------- #
 # XLA reference (fallback + numerics oracle)
@@ -96,20 +114,23 @@ def _probs(q, k, mask, scale, causal):
     return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
 
-def _seed_cell(seed_ref, n_heads, head):
-    """Unique PRNG stream per (batch, head) pair; the grid is over batch."""
+def _seed_cell(seed_ref, n_heads, hpc, head):
+    """Unique PRNG stream per (batch, GLOBAL head) pair; the grid is
+    (batch, head-group) so the stream assignment is identical for every
+    heads-per-cell choice."""
     b = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + b * n_heads + head)
+    head_global = pl.program_id(1) * hpc + head
+    pltpu.prng_seed(seed_ref[0] + b * n_heads + head_global)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale, dropout_rate, n_heads, causal):
+                scale, dropout_rate, n_heads, hpc, causal):
     mask = mask_ref[pl.program_id(0)]
-    for h in range(n_heads):  # static unroll; all heads share the mask load
+    for h in range(hpc):  # static unroll; the cell's heads share the mask
         q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
         p = _probs(q, k, mask, scale, causal)
         if dropout_rate > 0.0:
-            _seed_cell(seed_ref, n_heads, h)
+            _seed_cell(seed_ref, n_heads, hpc, h)
             p = p * _dropout_keep_scale(p.shape, dropout_rate)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -119,15 +140,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, dropout_rate, n_heads,
-                causal):
+                hpc, causal):
     mask = mask_ref[pl.program_id(0)]
-    for h in range(n_heads):
+    for h in range(hpc):
         q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
         do = do_ref[0, h].astype(jnp.float32)
 
         p = _probs(q, k, mask, scale, causal)                 # [S, S] fp32
         if dropout_rate > 0.0:
-            _seed_cell(seed_ref, n_heads, h)
+            _seed_cell(seed_ref, n_heads, hpc, h)
             keep = _dropout_keep_scale(p.shape, dropout_rate)
             d_mat = p * keep
         else:
@@ -159,28 +180,31 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _cell_specs(b, n, s, d):
-    # one grid cell = one batch element with ALL heads: the per-head
-    # [S, D] matmuls are tiny, so batching heads amortizes per-cell
-    # overhead and reuses the mask load. Index maps take
-    # (*grid_ids, *scalar_prefetch_refs); the mask is loaded whole (TPU
-    # tiling forbids a (1, S) block) and indexed by program_id.
-    qkv = pl.BlockSpec((1, n, s, d), lambda i, *_: (i, 0, 0, 0),
+def _cell_specs(b, n, s, d, hpc):
+    # one grid cell = one batch element with a GROUP of hpc heads (all of
+    # them when the working set fits VMEM — the per-head [S, D] matmuls
+    # are tiny at S<=200, so batching heads amortizes per-cell overhead
+    # and reuses the mask load; at reference-default scale the estimator
+    # shrinks the group instead of falling off the kernel). Index maps
+    # take (*grid_ids, *scalar_prefetch_refs); the mask is loaded whole
+    # (TPU tiling forbids a (1, S) block) and indexed by program_id.
+    qkv = pl.BlockSpec((1, hpc, s, d), lambda i, j, *_: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((b, s), lambda i, *_: (0, 0),
+    mask = pl.BlockSpec((b, s), lambda i, j, *_: (0, 0),
                         memory_space=pltpu.VMEM)
     return qkv, mask
 
 
 def _forward(q, k, v, mask, seed, dropout_rate, interpret, causal):
     b, n, s, d = q.shape
-    qkv_spec, mask_spec = _cell_specs(b, n, s, d)
+    hpc = _heads_per_cell(n, s, d, q.dtype.itemsize)
+    qkv_spec, mask_spec = _cell_specs(b, n, s, d, hpc)
     kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
                                dropout_rate=dropout_rate, n_heads=n,
-                               causal=causal)
+                               hpc=hpc, causal=causal)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b, n // hpc),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
         out_specs=qkv_spec,
     )
@@ -198,13 +222,14 @@ def _forward(q, k, v, mask, seed, dropout_rate, interpret, causal):
 
 def _backward(q, k, v, mask, seed, do, dropout_rate, interpret, causal):
     b, n, s, d = q.shape
-    qkv_spec, mask_spec = _cell_specs(b, n, s, d)
+    hpc = _heads_per_cell(n, s, d, q.dtype.itemsize)
+    qkv_spec, mask_spec = _cell_specs(b, n, s, d, hpc)
     kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
                                dropout_rate=dropout_rate, n_heads=n,
-                               causal=causal)
+                               hpc=hpc, causal=causal)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b, n // hpc),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
     )

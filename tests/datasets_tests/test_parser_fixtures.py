@@ -1,7 +1,13 @@
 """Offline parser tests against tiny checked-in format fixtures
 (VERDICT r1 missing #3): the extraction/parse logic of every dataset runs
 without network, so format regressions surface in CI instead of only when
-real data is on disk."""
+real data is on disk.
+
+These are FORMAT checks only — the reference's golden full-corpus stats
+(item-vocab sizes 3706/26729/54542/13044/335420, reference
+bert4rec_dataloaders_tests.py:222-250) remain network-gated in
+tests/datasets_tests/test_dataset_utils.py and auto-skip offline; passing
+fixtures here is NOT evidence of golden-stat parity."""
 
 import pathlib
 
