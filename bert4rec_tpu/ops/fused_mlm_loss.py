@@ -120,9 +120,10 @@ def _fwd_kernel(hidden_ref, table_ref, bias_ref, labels_ref,
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    onehot = (_row_iota(hidden.shape[0], v_padded)
-              == labels).astype(jnp.float32)
-    label_logit = jnp.sum(logits * onehot, axis=-1, keepdims=True)
+    # single select pass (vs onehot-materialize + multiply)
+    label_logit = jnp.sum(
+        jnp.where(_row_iota(hidden.shape[0], v_padded) == labels,
+                  logits, 0.0), axis=-1, keepdims=True)
     w = (labels > 0).astype(jnp.float32)  # [R, 1]; 0 = pad, -1 = tile pad
     nll = (lse - label_logit) * w
 
@@ -379,8 +380,9 @@ def _fwd_kernel_tiled(hidden_ref, table_ref, bias_ref, labels_ref,
 
     t_m = jnp.max(logits, axis=-1, keepdims=True)         # [R, 1]
     t_s = jnp.sum(jnp.exp(logits - t_m), axis=-1, keepdims=True)
-    onehot = (col == labels).astype(jnp.float32)
-    t_ll = jnp.sum(logits * onehot, axis=-1, keepdims=True)
+    # single select pass (vs onehot-materialize + multiply)
+    t_ll = jnp.sum(jnp.where(col == labels, logits, 0.0),
+                   axis=-1, keepdims=True)
 
     @pl.when(j == 0)
     def _():

@@ -62,6 +62,22 @@ class TestBERT4RecEvaluator:
         assert results["HR@1"] <= results["HR@5"] <= results["HR@10"]
         assert results["NDCG@1"] <= results["NDCG@10"]
 
+    def test_threaded_fetch_matches_sequential(self):
+        """fetch_workers moves rank fetches to worker threads; metrics
+        must equal the strictly-sequential (fetch_workers=0) pipeline
+        exactly for identical negative seeds."""
+        model = make_model()
+        params = model.init(jax.random.key(0))
+        ds, seqs = make_eval_dataset()
+        results = {}
+        for workers in (0, 2):
+            evaluator = BERT4RecEvaluator(sampler=make_sampler(seqs),
+                                          sample_size=SAMPLE_SIZE, seed=7,
+                                          fetch_workers=workers)
+            results[workers] = evaluator.evaluate(
+                model, params, ds, batch_size=8, progress_bar=False)
+        assert results[0] == results[2]
+
     def test_random_model_hr_near_chance(self):
         """Untrained model: HR@10 over 21 candidates ~ 10/21 on average."""
         model = make_model()
