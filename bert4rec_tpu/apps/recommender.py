@@ -115,6 +115,12 @@ class Recommender:
         ``[B, V]`` logits never reach the host, and on a vocab-sharded
         table they are never even gathered across shards.
         """
+        ids = self._dispatch_topk(sequences, top_k)
+        return self._decode_topk(ids)
+
+    def _dispatch_topk(self, sequences, top_k: int):
+        """Prep + dispatch one request batch; returns the DEVICE ids array
+        (no host sync — callers fetch, enabling pipelined serving)."""
         tok = self.dataloader.tokenizer
         wanted = ("input_word_ids", "input_mask", "masked_lm_positions")
         if hasattr(self.dataloader, "prepare_inference_batch"):
@@ -129,11 +135,41 @@ class Recommender:
 
         exclude = build_exclusion_rows(sequences, tok,
                                        self.model.special_token_ids)
-
         ids, _ = self._topk_fn(self.params, batch, jnp.asarray(exclude),
                                int(top_k))
+        return ids
+
+    def _decode_topk(self, ids) -> list:
+        tok = self.dataloader.tokenizer
         return [[tok.detokenize(int(t)) for t in row]
                 for row in np.asarray(ids)]
+
+    def recommend_stream(self, batches, top_k: int = 1,
+                         fetch_workers: int = 2):
+        """Pipelined :meth:`recommend_batch` over an ITERABLE of history
+        batches — yields one result list per input batch, in order.
+
+        On high-latency links the per-batch cost of ``recommend_batch`` is
+        dominated by the device->host fetch round trip, not the scoring;
+        this generator dispatches batch k+1 while batch k's ids are being
+        fetched on a worker thread (same discipline as the evaluator's
+        ``fetch_workers``). Results are identical to calling
+        ``recommend_batch`` per batch.
+        """
+        import concurrent.futures as cf
+        if fetch_workers <= 0:
+            for seqs in batches:
+                yield self.recommend_batch(seqs, top_k)
+            return
+        pending = []
+        with cf.ThreadPoolExecutor(max_workers=fetch_workers) as ex:
+            for seqs in batches:
+                ids = self._dispatch_topk(seqs, top_k)
+                pending.append(ex.submit(np.asarray, ids))
+                while pending and pending[0].done():
+                    yield self._decode_topk(pending.pop(0).result())
+            for f in pending:
+                yield self._decode_topk(f.result())
 
 
 class ArtifactRecommender:
