@@ -59,15 +59,25 @@ class MicroBatcher:
     :param max_wait_ms: how long the worker waits for more requests after
         the first one of a batch arrives. 0 means "whatever is already
         queued" — no artificial latency.
+    :param finalize: optional second phase. When given, ``handler`` is the
+        DISPATCH phase (fast, returns an opaque token — e.g. an
+        un-fetched device array) and ``finalize(token) -> list`` runs on a
+        small fetch pool, so the batching thread starts the NEXT device
+        dispatch while the previous batch's results are still in flight.
+        On high-latency links (device->host round trip >> scoring time)
+        this roughly matches the pipelining win of
+        ``Recommender.recommend_stream``.
     """
 
     def __init__(self, handler: Callable[[list], list],
                  max_batch_size: int = 32,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 finalize: Optional[Callable[[Any], list]] = None):
         if max_batch_size < 1:
             raise ValueError(f"max_batch_size must be >= 1, "
                              f"got {max_batch_size}")
         self._handler = handler
+        self._finalize = finalize
         self.max_batch_size = int(max_batch_size)
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
@@ -136,29 +146,56 @@ class MicroBatcher:
             batch.append(nxt)
         return batch, False
 
+    def _resolve(self, batch, results_or_token, finalize):
+        """Resolve one batch's futures; ``finalize`` (if any) runs here —
+        on the fetch pool in two-phase mode, inline otherwise."""
+        try:
+            results = (finalize(results_or_token) if finalize is not None
+                       else results_or_token)
+            if len(results) != len(batch):
+                raise RuntimeError(
+                    f"batch handler returned {len(results)} results "
+                    f"for {len(batch)} requests")
+        except BaseException as exc:  # noqa: BLE001 — forward to callers
+            self.stats["errors"] += 1
+            for _, fut in batch:
+                fut.set_exception(exc)
+            return
+        for (_, fut), res in zip(batch, results):
+            fut.set_result(res)
+
     def _loop(self):
+        fetch_pool = None
+        if self._finalize is not None:
+            import concurrent.futures as cf
+            fetch_pool = cf.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="micro-batcher-fetch")
         done = False
-        while not done:
-            batch, done = self._collect()
-            if not batch:
-                continue
-            self.stats["requests"] += len(batch)
-            self.stats["batches"] += 1
-            self.stats["max_batch_observed"] = max(
-                self.stats["max_batch_observed"], len(batch))
-            try:
-                results = self._handler([item for item, _ in batch])
-                if len(results) != len(batch):
-                    raise RuntimeError(
-                        f"batch handler returned {len(results)} results "
-                        f"for {len(batch)} requests")
-            except BaseException as exc:  # noqa: BLE001 — forward to callers
-                self.stats["errors"] += 1
-                for _, fut in batch:
-                    fut.set_exception(exc)
-                continue
-            for (_, fut), res in zip(batch, results):
-                fut.set_result(res)
+        try:
+            while not done:
+                batch, done = self._collect()
+                if not batch:
+                    continue
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["max_batch_observed"] = max(
+                    self.stats["max_batch_observed"], len(batch))
+                try:
+                    token = self._handler([item for item, _ in batch])
+                except BaseException as exc:  # noqa: BLE001 — to callers
+                    self.stats["errors"] += 1
+                    for _, fut in batch:
+                        fut.set_exception(exc)
+                    continue
+                if fetch_pool is None:
+                    self._resolve(batch, token, None)
+                else:
+                    fetch_pool.submit(self._resolve, batch, token,
+                                      self._finalize)
+        finally:
+            if fetch_pool is not None:
+                # drain in-flight fetches so close() never strands futures
+                fetch_pool.shutdown(wait=True)
 
 
 class RecommenderService:
@@ -195,9 +232,18 @@ class RecommenderService:
         # discarded. Id 3 is the first non-special id by construction
         # ([PAD]=0, [MASK]=1, [UNK]=2 — reference special-token order).
         self._pad_history = [tok.detokenize(3)]
-        self._batcher = MicroBatcher(self._handle,
-                                     max_batch_size=batch_capacity,
-                                     max_wait_ms=max_wait_ms)
+        if hasattr(recommender, "_dispatch_topk"):
+            # two-phase: the batching thread only preps+dispatches; the
+            # device->host fetch + detokenize run on the fetch pool, so
+            # the next batch dispatches while this one's ids are in flight
+            self._batcher = MicroBatcher(self._dispatch,
+                                         max_batch_size=batch_capacity,
+                                         max_wait_ms=max_wait_ms,
+                                         finalize=self._finalize)
+        else:  # duck-typed backends (e.g. AOT artifacts): single phase
+            self._batcher = MicroBatcher(self._handle,
+                                         max_batch_size=batch_capacity,
+                                         max_wait_ms=max_wait_ms)
 
     @property
     def stats(self) -> dict:
@@ -237,6 +283,20 @@ class RecommenderService:
         histories = histories + [self._pad_history] * n_pad
         rankings = self.recommender.recommend_batch(histories,
                                                     top_k=self.max_k)
+        return [rankings[i][:k] for i, (_, k) in enumerate(items)]
+
+    def _dispatch(self, items):
+        """Phase 1 (batching thread): pad + dispatch, NO host sync."""
+        histories = [h for h, _ in items]
+        n_pad = self.batch_capacity - len(histories)
+        histories = histories + [self._pad_history] * n_pad
+        ids = self.recommender._dispatch_topk(histories, self.max_k)
+        return (ids, items)
+
+    def _finalize(self, token):
+        """Phase 2 (fetch pool): fetch ids, detokenize, slice per-k."""
+        ids, items = token
+        rankings = self.recommender._decode_topk(ids)
         return [rankings[i][:k] for i, (_, k) in enumerate(items)]
 
 
