@@ -213,21 +213,32 @@ class ArtifactRecommender:
         :param top_k: <= the exported k (defaults to it)
         """
         k = self.exported_k if top_k is None else int(top_k)
+        ids = self._dispatch_topk(sequences, k)
+        return [row[:k] for row in self._decode_topk(ids)]
+
+    def _dispatch_topk(self, sequences, top_k: Optional[int]):
+        """Prep + dispatch through the artifact; returns the DEVICE ids
+        (no host sync). ``top_k`` only validates — the artifact always
+        ranks its exported k; callers slice."""
+        k = self.exported_k if top_k is None else int(top_k)
         if k > self.exported_k:
             raise ValueError(f"top_k={k} exceeds the artifact's exported "
                              f"k={self.exported_k}")
-        tok = self.dataloader.tokenizer
         feats = self.dataloader.prepare_inference_batch(
             [list(s) for s in sequences])
-        exclude = build_exclusion_rows(sequences, tok,
+        exclude = build_exclusion_rows(sequences,
+                                       self.dataloader.tokenizer,
                                        self.special_token_ids,
                                        width=self.exclusion_width)
-
         ids, _ = self.artifact.call(
             np.asarray(feats["input_word_ids"], np.int32),
             np.asarray(feats["input_mask"], np.int32),
             np.asarray(feats["masked_lm_positions"], np.int32),
             exclude)
+        return ids
+
+    def _decode_topk(self, ids) -> list:
         # the single masked position is slot 0 (last-token mask)
-        return [[tok.detokenize(int(t)) for t in row[:k]]
+        tok = self.dataloader.tokenizer
+        return [[tok.detokenize(int(t)) for t in row]
                 for row in np.asarray(ids)[:, 0]]
