@@ -269,3 +269,64 @@ class TestTiledFusedLoss:
             a, b = np.asarray(a), np.asarray(b)
             denom = np.abs(b).max() + 1e-9
             assert np.abs(a - b).max() / denom < 2e-4, name
+
+    def test_randomized_boundary_sweep(self):
+        """Random shapes across every tile-boundary regime (rows below /
+        at / off the row tile, vocab off the VTILE grid, all-pad rows,
+        label-0 rows, merged vs two-sweep backward) vs the XLA oracle —
+        the regression net for kernel tiling changes."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from bert4rec_tpu.ops import fused_mlm_loss as fml
+        from bert4rec_tpu.trainers import trainer_utils
+
+        rng = np.random.default_rng(42)
+        for case in range(6):
+            rows = int(rng.integers(1, 130))
+            w = int(rng.choice([8, 16, 32]))
+            vs = int(rng.integers(50, 3000))
+            v = vs + int(rng.integers(0, 40))
+            hidden = jnp.asarray(
+                rng.normal(size=(rows, w)).astype(np.float32))
+            table = jnp.asarray(
+                rng.normal(size=(v, w)).astype(np.float32) * 0.1)
+            bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+            labels_np = rng.integers(0, vs, size=rows).astype(np.int32)
+            if case == 3:
+                labels_np[:] = 0  # every row padding: loss 0, nv 0
+            elif case == 4:
+                labels_np[::2] = 0
+            labels = jnp.asarray(labels_np)
+            # exercise BOTH backward forms across cases
+            two_sweep = case % 2 == 1
+            old = fml._MERGED_DH_BYTES
+            fml._MERGED_DH_BYTES = 0 if two_sweep else old
+            try:
+                def loss_tiled(h, t, b, labels=labels, vs=vs):
+                    return fml.fused_mlm_loss_tiled(h, t, b, labels, vs,
+                                                    True)[0]
+
+                def loss_xla(h, t, b, labels=labels, vs=vs):
+                    logits = (h @ t.T + b)[None]
+                    col = jnp.arange(t.shape[0])[None, None, :]
+                    logits = jnp.where(col >= vs, -1e9, logits)
+                    return trainer_utils \
+                        .masked_sparse_categorical_crossentropy(
+                            labels[None], logits)
+
+                lt = float(loss_tiled(hidden, table, bias))
+                lx = float(loss_xla(hidden, table, bias))
+                assert abs(lt - lx) <= 2e-5 * max(1.0, abs(lx)), \
+                    (case, rows, w, vs, v)
+                g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(
+                    hidden, table, bias)
+                g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(
+                    hidden, table, bias)
+                for name, a, b in zip("htb", g_t, g_x):
+                    a, b = np.asarray(a), np.asarray(b)
+                    denom = np.abs(b).max() + 1e-9
+                    assert np.abs(a - b).max() / denom < 3e-4, \
+                        (case, name, rows, w, vs, v)
+            finally:
+                fml._MERGED_DH_BYTES = old
