@@ -139,10 +139,12 @@ class Recommender:
                                int(top_k))
         return ids
 
-    def _decode_topk(self, ids) -> list:
+    def _decode_topk(self, ids, k: Optional[int] = None) -> list:
         tok = self.dataloader.tokenizer
-        return [[tok.detokenize(int(t)) for t in row]
-                for row in np.asarray(ids)]
+        rows = np.asarray(ids)
+        if k is not None:
+            rows = rows[:, :k]
+        return [[tok.detokenize(int(t)) for t in row] for row in rows]
 
     def recommend_stream(self, batches, top_k: int = 1,
                          fetch_workers: int = 2):
@@ -152,24 +154,16 @@ class Recommender:
         On high-latency links the per-batch cost of ``recommend_batch`` is
         dominated by the device->host fetch round trip, not the scoring;
         this generator dispatches batch k+1 while batch k's ids are being
-        fetched on a worker thread (same discipline as the evaluator's
-        ``fetch_workers``). Results are identical to calling
-        ``recommend_batch`` per batch.
+        fetched on a worker thread (``utils.prefetch.fetch_pipelined``,
+        same discipline as the evaluator's ``fetch_workers``). Results
+        are identical to calling ``recommend_batch`` per batch.
         """
-        import concurrent.futures as cf
-        if fetch_workers <= 0:
-            for seqs in batches:
-                yield self.recommend_batch(seqs, top_k)
-            return
-        pending = []
-        with cf.ThreadPoolExecutor(max_workers=fetch_workers) as ex:
-            for seqs in batches:
-                ids = self._dispatch_topk(seqs, top_k)
-                pending.append(ex.submit(np.asarray, ids))
-                while pending and pending[0].done():
-                    yield self._decode_topk(pending.pop(0).result())
-            for f in pending:
-                yield self._decode_topk(f.result())
+        from bert4rec_tpu.utils.prefetch import fetch_pipelined
+        yield from fetch_pipelined(
+            batches,
+            dispatch=lambda seqs: self._dispatch_topk(seqs, top_k),
+            fetch=lambda ids: self._decode_topk(np.asarray(ids)),
+            workers=fetch_workers)
 
 
 class ArtifactRecommender:
@@ -214,7 +208,8 @@ class ArtifactRecommender:
         """
         k = self.exported_k if top_k is None else int(top_k)
         ids = self._dispatch_topk(sequences, k)
-        return [row[:k] for row in self._decode_topk(ids)]
+        # decode only the requested k of the artifact's exported_k columns
+        return self._decode_topk(ids, k)
 
     def _dispatch_topk(self, sequences, top_k: Optional[int]):
         """Prep + dispatch through the artifact; returns the DEVICE ids
@@ -237,8 +232,10 @@ class ArtifactRecommender:
             exclude)
         return ids
 
-    def _decode_topk(self, ids) -> list:
+    def _decode_topk(self, ids, k: Optional[int] = None) -> list:
         # the single masked position is slot 0 (last-token mask)
         tok = self.dataloader.tokenizer
-        return [[tok.detokenize(int(t)) for t in row]
-                for row in np.asarray(ids)[:, 0]]
+        rows = np.asarray(ids)[:, 0]
+        if k is not None:
+            rows = rows[:, :k]
+        return [[tok.detokenize(int(t)) for t in row] for row in rows]

@@ -157,7 +157,8 @@ class MicroBatcher:
                     f"batch handler returned {len(results)} results "
                     f"for {len(batch)} requests")
         except BaseException as exc:  # noqa: BLE001 — forward to callers
-            self.stats["errors"] += 1
+            with self._lock:  # fetch-pool threads race on this counter
+                self.stats["errors"] += 1
             for _, fut in batch:
                 fut.set_exception(exc)
             return
@@ -183,7 +184,8 @@ class MicroBatcher:
                 try:
                     token = self._handler([item for item, _ in batch])
                 except BaseException as exc:  # noqa: BLE001 — to callers
-                    self.stats["errors"] += 1
+                    with self._lock:
+                        self.stats["errors"] += 1
                     for _, fut in batch:
                         fut.set_exception(exc)
                     continue
@@ -296,7 +298,8 @@ class RecommenderService:
     def _finalize(self, token):
         """Phase 2 (fetch pool): fetch ids, detokenize, slice per-k."""
         ids, items = token
-        rankings = self.recommender._decode_topk(ids)
+        # decode at most max_k columns (artifact backends rank exported_k)
+        rankings = self.recommender._decode_topk(ids, self.max_k)
         return [rankings[i][:k] for i, (_, k) in enumerate(items)]
 
 

@@ -27,14 +27,21 @@ import numpy as np
 
 
 class _PerModelCache:
-    """id(model)-keyed cache whose entries only hit while the SAME model
-    object is alive: each entry stores a weakref to its model, and a lookup
-    that finds a dead or different referent evicts the entry instead of
-    serving a stale compiled closure (CPython reuses ids after GC, so a bare
-    ``id(model)`` key could silently return another model's jit)."""
+    """Bounded id(model)-keyed cache whose entries only hit while the SAME
+    model object is alive: each entry stores a weakref to its model, and a
+    lookup that finds a dead or different referent evicts the entry instead
+    of serving a stale compiled closure (CPython reuses ids after GC, so a
+    bare ``id(model)`` key could silently return another model's jit).
 
-    def __init__(self):
+    The cache is BOUNDED (LRU, ``max_entries``) because the cached value —
+    a jitted closure — strongly references its model: an unbounded cache
+    would keep every model a long-lived evaluator ever saw alive (plus the
+    fused entries' vocab-sized device constants). Evicting a live model's
+    entry merely recompiles on next use."""
+
+    def __init__(self, max_entries: int = 4):
         self._entries = {}
+        self._max_entries = max_entries
 
     def get(self, model):
         entry = self._entries.get(id(model))
@@ -43,6 +50,9 @@ class _PerModelCache:
         ref, value = entry
         referent = ref() if isinstance(ref, weakref.ref) else ref
         if referent is model:
+            # refresh LRU position (dicts preserve insertion order)
+            del self._entries[id(model)]
+            self._entries[id(model)] = entry
             return value
         del self._entries[id(model)]
         return None
@@ -53,6 +63,8 @@ class _PerModelCache:
         except TypeError:  # non-weakrefable model: pin it (identity exact)
             ref = model
         self._entries[id(model)] = (ref, value)
+        while len(self._entries) > self._max_entries:
+            self._entries.pop(next(iter(self._entries)))
 
 from bert4rec_tpu.evaluation import evaluation_metrics as metrics_lib
 from bert4rec_tpu.evaluation.base_evaluator import BaseEvaluator
@@ -509,36 +521,21 @@ class BERT4RecEvaluator(BaseEvaluator):
             except ImportError:
                 pass
 
-        if self.fetch_workers > 0:
-            # fetches on worker threads: the loop thread only preps +
-            # dispatches, so a fetch round trip (dominant on high-latency
-            # links: ~28 ms on the tunneled v5e, where the jitted eval is
-            # 8.6 ms) overlaps the next batches' compute. Metric updates
-            # stay on this thread, in dispatch order.
-            import concurrent.futures as cf
-            pending = []
-            with cf.ThreadPoolExecutor(
-                    max_workers=self.fetch_workers) as ex:
-                for batch in iterator:
-                    ranks = self.evaluate_batch(model, params, batch,
-                                                fetch=False)
-                    pending.append(ex.submit(np.asarray, ranks))
-                    while pending and pending[0].done():
-                        self._update_metrics(pending.pop(0).result())
-                for f in pending:
-                    self._update_metrics(f.result())
-            return self.get_metrics_results()
-
-        # fetch_workers=0: one-batch lag — fetch batch k's ranks only after
-        # dispatching batch k+1
-        pending = None
-        for batch in iterator:
-            ranks = self.evaluate_batch(model, params, batch, fetch=False)
-            if pending is not None:
-                self._update_metrics(pending)
-            pending = ranks
-        if pending is not None:
-            self._update_metrics(pending)
+        # fetches on worker threads (utils.prefetch.fetch_pipelined): the
+        # loop thread only preps + dispatches — deterministic dispatch
+        # order, multi-host safe — so a fetch round trip (dominant on
+        # high-latency links: ~28 ms on the tunneled v5e, where the jitted
+        # eval is 8.6 ms) overlaps the next batches' compute. Metric
+        # updates stay on this thread, in dispatch order.
+        from bert4rec_tpu.utils.prefetch import fetch_pipelined
+        ranks_iter = fetch_pipelined(
+            iterator,
+            dispatch=lambda batch: self.evaluate_batch(
+                model, params, batch, fetch=False),
+            fetch=np.asarray,
+            workers=self.fetch_workers)
+        for ranks in ranks_iter:
+            self._update_metrics(ranks)
         return self.get_metrics_results()
 
     def _update_metrics(self, ranks) -> None:

@@ -352,7 +352,11 @@ def mlm_loss_and_metrics(hidden, table, bias, labels, vocab_size,
 
 # merged-backward applicability: the fp32 dh must stay VMEM-resident for
 # the whole grid next to the [BWD_ROW_TILE, VTILE] fp32 logits/dlog tiles
-_MERGED_DH_BYTES = 6 * 1024 * 1024
+# (a ~10 MB fixed working set). 5.5 MB = the largest MEASURED-compiling
+# residency (Reddit bench: 10240 x 128 fp32 = 5.24 MB) + slack, NOT the
+# theoretical ceiling — a bigger dh bound risks Mosaic VMEM OOM on
+# untested row/width combinations; the two-sweep fallback always works
+_MERGED_DH_BYTES = int(5.5 * 1024 * 1024)
 # Reddit-scale A/B on v5e (B=256, P=40, 335k vocab): merged backward at
 # row tile 1024 = 41.3 ms/step vs 42.9 (512) / 43.9 (256) / 48.7
 # (two-sweep) — Mosaic keeps the live set (logits + p + dlog tiles +

@@ -56,3 +56,33 @@ def prefetch(iterator: Iterable,
             except queue.Empty:
                 pass
             thread.join(timeout=0.1)
+
+
+def fetch_pipelined(items: Iterable, dispatch: Callable, fetch: Callable,
+                    workers: int = 2) -> Iterator:
+    """The output-side twin of :func:`prefetch`: ``dispatch(item)`` runs
+    on the CALLING thread (jax dispatch order must be deterministic — on
+    multi-host every process must enqueue the same computations in the
+    same order) while ``fetch(token)`` — the device->host sync — runs on
+    ``workers`` threads. Yields fetch results in dispatch order.
+
+    On a high-latency link (the tunneled v5e pays ~28 ms per fetch round
+    trip vs ~9 ms of eval compute) this overlaps each batch's fetch with
+    the next batches' dispatch: measured 37.3 -> 22.0 ms/batch for
+    ML-20M-scale evaluation and 81.5 -> 31.4 ms/batch for bulk serving.
+    ``workers=0`` degrades to strictly sequential dispatch->fetch.
+    """
+    if workers <= 0:
+        for item in items:
+            yield fetch(dispatch(item))
+        return
+    import concurrent.futures as cf
+    pending = []
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        for item in items:
+            token = dispatch(item)
+            pending.append(ex.submit(fetch, token))
+            while pending and pending[0].done():
+                yield pending.pop(0).result()
+        for f in pending:
+            yield f.result()

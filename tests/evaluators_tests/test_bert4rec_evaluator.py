@@ -225,3 +225,9 @@ class TestPerModelJitCache:
             assert (1 <= ranks).all() and (ranks <= SAMPLE_SIZE + 1).all()
             del model, params
             gc.collect()
+        # the caches are bounded: the cached jit closures strongly
+        # reference their models, so an unbounded cache would leak one
+        # model (+ device constants) per entry for the evaluator's life
+        for cache in (evaluator._rank_fn_cache, evaluator._fused_fn_cache,
+                      evaluator._full_fn_cache):
+            assert len(cache._entries) <= cache._max_entries

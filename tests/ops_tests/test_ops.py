@@ -55,6 +55,42 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_head_grouped_grid_matches_all_heads(self, monkeypatch):
+        """At reference-default scale the VMEM estimator splits heads into
+        groups (hpc < n_heads); every shipped test shape keeps hpc ==
+        n_heads, so force the split here and assert the (batch,
+        head-group) grid is bit-exact vs the all-heads grid and matches
+        the XLA reference — fwd and grads (interpret mode)."""
+        import importlib
+        fa = importlib.import_module("bert4rec_tpu.ops.flash_attention")
+        q, k, v, mask = make_qkv()
+
+        def run():
+            out = flash_attention(q, k, v, mask, interpret=True)
+
+            def loss(q, k, v):
+                return jnp.sum(
+                    flash_attention(q, k, v, mask, interpret=True))
+
+            return out, jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        out_all, grads_all = run()
+        n, s, d = q.shape[1], q.shape[2], q.shape[3]
+        assert fa._heads_per_cell(n, s, d, q.dtype.itemsize) == n
+        monkeypatch.setattr(fa, "_VMEM_BUDGET",
+                            12 * s * s * 4 + 8 * 2 * s * d * 4)
+        hpc = fa._heads_per_cell(n, s, d, q.dtype.itemsize)
+        assert 1 <= hpc < n, hpc
+        out_grp, grads_grp = run()
+        np.testing.assert_array_equal(np.asarray(out_all),
+                                      np.asarray(out_grp))
+        for g_all, g_grp in zip(grads_all, grads_grp):
+            np.testing.assert_array_equal(np.asarray(g_all),
+                                          np.asarray(g_grp))
+        ref = mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out_grp), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_causal_matches_reference(self):
         q, k, v, mask = make_qkv()
         out = flash_attention(q, k, v, mask, interpret=True, causal=True)

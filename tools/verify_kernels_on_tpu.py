@@ -365,7 +365,12 @@ def verify_tiled_loss_bf16(vs=26732, v=26752):
         return fused_mlm_loss_tiled(h, t, b, labels, vs, False)[0]
 
     def xla_loss(h, t, b):
-        logits = (h @ t.astype(h.dtype).T).astype(jnp.float32)[None] + b
+        # genuinely same-policy: bf16 operands, fp32 ACCUMULATION — the
+        # kernel never rounds the accumulated logits to bf16, so a plain
+        # bf16 @ would add a per-logit rounding the kernel doesn't have
+        logits = jax.lax.dot_general(
+            h, t.astype(h.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[None] + b
         col = jnp.arange(t.shape[0])[None, None, :]
         logits = jnp.where(col >= vs, -1e9, logits)
         return trainer_utils.masked_sparse_categorical_crossentropy(
