@@ -140,23 +140,19 @@ class Bert4RecEncoder:
             tri = jnp.where(idx[None, :] <= idx[:, None], 0.0, -1e9) \
                 .astype(jnp.float32)[None, None]         # [1, 1, S, S]
             attn_bias = attn_bias + tri
-        dense_bias = False  # a bias the kernels CANNOT rebuild in VMEM
-        if cfg.use_temporal_attention and "temporal_attention_bias" in params:
-            rel = self._relative_time_bias(
-                params["temporal_attention_bias"]["embedding"],
-                input_timestamps, input_mask)            # [B, n, S, S] fp32
-            attn_bias = attn_bias + rel
-            dense_bias = True
-        use_flash = cfg.use_flash_attention and not dense_bias
+        temporal_attn = (cfg.use_temporal_attention
+                         and "temporal_attention_bias" in params)
 
-        # whole-layer fusion: post-LN only, no query slicing, no dense
-        # attention bias (the kernel builds pad + causal masks itself), and
-        # either a real TPU or inactive dropout (interpret mode has no PRNG)
+        # whole-layer fusion: post-LN only, no query slicing, and either a
+        # real TPU or inactive dropout (interpret mode has no PRNG). A
+        # temporal bias does NOT force the fallback: the kernel rebuilds
+        # it per cell from the bucket matrix (fused_encoder_layer
+        # rel_bucket/rel_table — the dense [B, n, S, S] HBM bias made the
+        # temporal step 14x slower than the fused bidirectional one)
         attn_rate = cfg.attention_dropout if training else 0.0
         out_rate = cfg.output_dropout if training else 0.0
         fused_ok = (cfg.use_fused_layer and not cfg.norm_first
                     and output_range is None
-                    and not dense_bias
                     and cfg.inner_activation == "gelu"
                     and (jax.devices()[0].platform == "tpu"
                          or (attn_rate == 0.0 and out_rate == 0.0)))
@@ -171,7 +167,22 @@ class Bert4RecEncoder:
                 batch=input_word_ids.shape[0], seq_len=seq_len,
                 hidden=cfg.hidden_size, inner_dim=cfg.inner_dim,
                 num_heads=cfg.num_attention_heads,
-                dtype_bytes=jnp.dtype(compute_dtype).itemsize)
+                dtype_bytes=jnp.dtype(compute_dtype).itemsize,
+                temporal=temporal_attn)
+
+        rel_bucket = rel_table = None
+        dense_bias = False  # a bias the flash/XLA paths must materialize
+        if temporal_attn:
+            rel_table = params["temporal_attention_bias"]["embedding"]
+            if fused_ok:
+                rel_bucket = self._time_bucket_matrix(
+                    input_timestamps, input_mask, rel_table.shape[0])
+            else:
+                rel = self._relative_time_bias(
+                    rel_table, input_timestamps, input_mask)  # [B,n,S,S]
+                attn_bias = attn_bias + rel
+                dense_bias = True
+        use_flash = cfg.use_flash_attention and not dense_bias
 
         encoder_outputs = []
         for i in range(cfg.num_layers):
@@ -191,7 +202,8 @@ class Bert4RecEncoder:
                     num_heads=cfg.num_attention_heads,
                     attention_dropout=a_rate,
                     output_dropout=o_rate,
-                    seed=seed, causal=causal)
+                    seed=seed, causal=causal,
+                    rel_bucket=rel_bucket, rel_table=rel_table)
             else:
                 def run_block(layer_params, x_in, bias, layer_rng,
                               _qr=output_range if is_last else None):
@@ -255,12 +267,10 @@ class Bert4RecEncoder:
         return jnp.where(valid, bucket, 0)
 
     @staticmethod
-    def _relative_time_bias(bias_table, input_timestamps, input_mask):
-        """Per-head additive attention bias ``[B, n_heads, S, S]`` from
-        signed log2-bucketized query-key time deltas (TiSASRec-style,
-        adapted: the paper's interval key/value embeddings become one
-        learned scalar per (bucket, head) — an additive score bias, which
-        keeps the attention matmuls dense and MXU-shaped).
+    def _time_bucket_matrix(input_timestamps, input_mask, n_buckets):
+        """``[B, S, S]`` int32 query-key time-delta buckets — the shared
+        law behind both temporal-attention paths (the XLA dense bias and
+        the fused kernel's in-VMEM rebuild).
 
         Bucket law: delta = t_query - t_key in integer seconds (exact for
         int32 stamps; see :meth:`_recency_buckets` on why not float);
@@ -268,27 +278,38 @@ class Bert4RecEncoder:
         half = n_buckets // 2; bucket = magnitude for delta >= 0,
         half + magnitude for delta < 0. Delta 0 -> bucket 0.
         """
-        n_buckets, n_heads = bias_table.shape
         b, s = input_mask.shape
         if input_timestamps is None:
             # no signal: every pair is bucket 0 — a per-head constant that
             # softmax normalizes away
-            bucket = jnp.zeros((b, s, s), jnp.int32)
-        else:
-            ts = input_timestamps.astype(jnp.int32)
-            # garbage stamps at padded slots index arbitrary buckets, but
-            # every padded KEY carries the -1e9 pad-mask bias and padded
-            # QUERY rows produce no output that survives the MLM position
-            # gather — so no pinning is needed; deltas are only meaningful
-            # between real positions
-            delta = ts[:, :, None] - ts[:, None, :]          # [B, S, S]
-            half = max(n_buckets // 2, 1)
-            mag = jnp.floor(
-                jnp.log2(jnp.abs(delta).astype(jnp.float32) + 1.0)
-            ).astype(jnp.int32)
-            mag = jnp.clip(mag, 0, half - 1)
-            bucket = jnp.where(delta >= 0, mag, half + mag)
-            bucket = jnp.clip(bucket, 0, n_buckets - 1)
+            return jnp.zeros((b, s, s), jnp.int32)
+        ts = input_timestamps.astype(jnp.int32)
+        # garbage stamps at padded slots index arbitrary buckets, but
+        # every padded KEY carries the -1e9 pad-mask bias and padded
+        # QUERY rows produce no output that survives the MLM position
+        # gather — so no pinning is needed; deltas are only meaningful
+        # between real positions
+        delta = ts[:, :, None] - ts[:, None, :]              # [B, S, S]
+        half = max(n_buckets // 2, 1)
+        mag = jnp.floor(
+            jnp.log2(jnp.abs(delta).astype(jnp.float32) + 1.0)
+        ).astype(jnp.int32)
+        mag = jnp.clip(mag, 0, half - 1)
+        bucket = jnp.where(delta >= 0, mag, half + mag)
+        return jnp.clip(bucket, 0, n_buckets - 1)
+
+    @staticmethod
+    def _relative_time_bias(bias_table, input_timestamps, input_mask):
+        """Per-head additive attention bias ``[B, n_heads, S, S]`` from
+        signed log2-bucketized query-key time deltas (TiSASRec-style,
+        adapted: the paper's interval key/value embeddings become one
+        learned scalar per (bucket, head) — an additive score bias, which
+        keeps the attention matmuls dense and MXU-shaped). DENSE-tensor
+        form for the XLA fallback; the fused-layer kernel instead rebuilds
+        the bias per cell from :meth:`_time_bucket_matrix`."""
+        n_buckets, n_heads = bias_table.shape
+        bucket = Bert4RecEncoder._time_bucket_matrix(
+            input_timestamps, input_mask, n_buckets)
         rel = jnp.take(bias_table, bucket, axis=0)           # [B, S, S, n]
         return rel.transpose(0, 3, 1, 2).astype(jnp.float32)
 

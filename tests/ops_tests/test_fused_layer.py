@@ -170,6 +170,66 @@ class TestFusedEncoderIntegration:
             np.asarray(out_fused["sequence_output"]),
             np.asarray(out["sequence_output"]), rtol=2e-2, atol=5e-3)
 
+    def test_fused_temporal_attention_matches_xla(self):
+        """The temporal relative-time bias rebuilt IN the fused kernel
+        (rel_bucket + rel_table) must match the XLA dense-bias path —
+        forward and gradients including d(temporal_attention_bias)."""
+        from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+        kw = dict(vocab_size=60, hidden_size=32, num_layers=2,
+                  num_attention_heads=4, inner_dim=64,
+                  max_sequence_length=16, use_temporal_attention=True,
+                  temporal_attention_buckets=16,
+                  attention_dropout=0.0, output_dropout=0.0)
+        enc = Bert4RecEncoder(BERT4RecConfig(**kw))
+        enc_fused = Bert4RecEncoder(
+            BERT4RecConfig(use_fused_layer=True, **kw))
+        params = enc.init(jax.random.key(0))
+        # non-trivial learned bias values (init may be zeros)
+        params["temporal_attention_bias"]["embedding"] = jnp.asarray(
+            np.random.default_rng(1).normal(size=(16, 4)).astype(np.float32))
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 60, size=(2, 16)).astype(np.int32))
+        mask = jnp.asarray((np.arange(16)[None, :] < np.array([[16], [9]]))
+                           .astype(np.int32))
+        base = np.int32(1_600_000_000)
+        ts = jnp.asarray(base + np.cumsum(
+            rng.integers(60, 100_000, size=(2, 16)), axis=1).astype(np.int32))
+
+        def run(e, p):
+            out = e.apply(p, ids * mask, mask, input_timestamps=ts)
+            return out["sequence_output"]
+
+        out_ref = run(enc, params)
+        out_fused = run(enc_fused, params)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_ref),
+                                   rtol=2e-2, atol=5e-3)
+
+        proj = jnp.asarray(rng.normal(size=out_ref.shape), jnp.float32)
+
+        def loss(e):
+            def f(p):
+                return jnp.sum(run(e, p).astype(jnp.float32) * proj)
+            return f
+
+        g_ref = jax.grad(loss(enc))(params)
+        g_fused = jax.grad(loss(enc_fused))(params)
+        gt_r = np.asarray(g_ref["temporal_attention_bias"]["embedding"])
+        gt_f = np.asarray(g_fused["temporal_attention_bias"]["embedding"])
+        assert np.abs(gt_r).max() > 0, "test not exercising the bias"
+        scale = np.abs(gt_r).max()
+        np.testing.assert_allclose(gt_f / scale, gt_r / scale,
+                                   rtol=5e-3, atol=5e-3)
+        # the rest of the tree agrees too (gelu approximation tolerance)
+        flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+        flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+        for (path_f, leaf_f), (path_r, leaf_r) in zip(flat_f, flat_r):
+            assert path_f == path_r
+            s = max(np.abs(np.asarray(leaf_r)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(leaf_f) / s, np.asarray(leaf_r) / s,
+                rtol=2e-2, atol=2e-2, err_msg=str(path_f))
+
     def test_fused_model_grads_flow(self):
         from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
         cfg = BERT4RecConfig(vocab_size=50, hidden_size=32, num_layers=2,

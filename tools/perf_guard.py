@@ -59,6 +59,11 @@ BUDGET_MS = {
     # (head-grouped cells, ops/flash_attention.py _heads_per_cell) + remat.
     # r3 measured 156.7 ms; budget = x ~1.15 drift ceiling.
     "bert_base_512": 180.0,
+    # temporal family (recency embeddings + TiSASRec-style relative-time
+    # bias) with the bias rebuilt INSIDE the fused layer kernel — r3
+    # measured 36.2 ms vs 141 ms on the XLA dense-bias path (the
+    # [B, n, S, S] HBM bias). Budget = x ~1.2 drift ceiling.
+    "temporal_multi4": 44.0,
 }
 MIN_SPEEDUP_FUSED_VS_XLA = 1.35
 
@@ -116,6 +121,15 @@ def main(argv=None):
         "reddit_tiled": bench.build(
             dict(vocab_size=335423, use_fused_layer=True,
                  use_fused_loss=True),
+            steps_per_call=4),
+        # temporal family: recency embeddings + relative-time bias rebuilt
+        # inside the fused layer kernel. No timestamps in the guard batch
+        # (bucket matrix all-zeros) — the kernel's select/reduce chains
+        # run identically regardless of bucket VALUES, which is what the
+        # budget protects
+        "temporal_multi4": bench.build(
+            dict(use_fused_layer=True, use_fused_loss=True,
+                 use_temporal_embeddings=True, use_temporal_attention=True),
             steps_per_call=4),
         # reference-default encoder scale: hidden 768, 12 layers, S=512,
         # flash attention + remat, XLA loss (vocab 3709 is logits-cheap;
@@ -219,6 +233,7 @@ def main(argv=None):
         vk.verify_tiled_loss_reddit()
         vk.verify_tiled_loss_bf16()
         vk.verify_flash_bert_base_shape()
+        vk.verify_fused_temporal()
         print("[perf_guard] kernel numerics OK")
 
     if failures:

@@ -287,6 +287,63 @@ def verify_tiled_loss(vs=26732, v=26752):
     print(f"TILED LOSS TPU CHECKS PASSED (vocab {vs})")
 
 
+def verify_fused_temporal():
+    """Fused-layer temporal attention (rel bias rebuilt in VMEM from the
+    bucket matrix + SMEM table) vs the XLA dense-bias path on real
+    hardware — fwd + grads including d(temporal_attention_bias). The
+    SMEM scalar stores and the in-kernel fori_loop select chains only
+    prove out on Mosaic, not in interpret mode."""
+    import jax.numpy as jnp
+    from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+
+    kw = dict(vocab_size=200, hidden_size=64, num_layers=2,
+              num_attention_heads=4, inner_dim=128,
+              max_sequence_length=32, use_temporal_attention=True,
+              temporal_attention_buckets=64,
+              attention_dropout=0.0, output_dropout=0.0)
+    enc = Bert4RecEncoder(BERT4RecConfig(**kw))
+    enc_fused = Bert4RecEncoder(BERT4RecConfig(use_fused_layer=True, **kw))
+    params = enc.init(jax.random.key(0))
+    rng = np.random.default_rng(5)
+    params["temporal_attention_bias"]["embedding"] = jnp.asarray(
+        rng.normal(size=(64, 4)).astype(np.float32) * 0.3)
+    ids = jnp.asarray(rng.integers(3, 200, size=(4, 32)).astype(np.int32))
+    mask = jnp.asarray((np.arange(32)[None, :]
+                        < np.array([[32], [20], [32], [9]])).astype(np.int32))
+    ts = jnp.asarray((1_600_000_000 + np.cumsum(
+        rng.integers(60, 500_000, size=(4, 32)), axis=1)).astype(np.int32))
+
+    def run(e):
+        def f(p):
+            return e.apply(p, ids * mask, mask,
+                           input_timestamps=ts)["sequence_output"]
+        return f
+
+    out_r = jax.jit(run(enc))(params)
+    out_f = jax.jit(run(enc_fused))(params)
+    err = float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
+                                - out_r.astype(jnp.float32))))
+    print(f"fused temporal fwd max err: {err:.2e}")
+    assert err < 5e-2  # tanh-approx gelu systematic difference included
+
+    proj = jnp.asarray(rng.normal(size=out_r.shape), jnp.float32)
+
+    def loss(e):
+        def f(p):
+            return jnp.sum(run(e)(p).astype(jnp.float32) * proj)
+        return f
+
+    g_r = jax.jit(jax.grad(loss(enc)))(params)
+    g_f = jax.jit(jax.grad(loss(enc_fused)))(params)
+    tr = np.asarray(g_r["temporal_attention_bias"]["embedding"])
+    tf = np.asarray(g_f["temporal_attention_bias"]["embedding"])
+    assert np.abs(tr).max() > 0
+    rel = np.abs(tf - tr).max() / np.abs(tr).max()
+    print(f"fused temporal dtable rel err {rel:.2e}")
+    assert rel < 2e-2
+    print("FUSED TEMPORAL TPU CHECKS PASSED")
+
+
 def verify_flash_bert_base_shape():
     """Flash attention at the reference-default encoder shape (12 heads,
     S=512, D=64): the head-group estimator picks hpc < n_heads here, so
@@ -403,3 +460,4 @@ if __name__ == "__main__":
     verify_tiled_loss_reddit()
     verify_tiled_loss_bf16()
     verify_flash_bert_base_shape()
+    verify_fused_temporal()
