@@ -230,6 +230,34 @@ class TestFusedEncoderIntegration:
                 np.asarray(leaf_f) / s, np.asarray(leaf_r) / s,
                 rtol=2e-2, atol=2e-2, err_msg=str(path_f))
 
+    def test_fused_temporal_causal_composition(self):
+        """Temporal rel bias + causal triangle compose additively in the
+        kernel; must match the XLA path that folds both into attn_bias."""
+        from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
+        kw = dict(vocab_size=60, hidden_size=32, num_layers=1,
+                  num_attention_heads=2, inner_dim=64,
+                  max_sequence_length=12, use_temporal_attention=True,
+                  temporal_attention_buckets=8, causal_attention=True,
+                  attention_dropout=0.0, output_dropout=0.0)
+        enc = Bert4RecEncoder(BERT4RecConfig(**kw))
+        enc_fused = Bert4RecEncoder(
+            BERT4RecConfig(use_fused_layer=True, **kw))
+        params = enc.init(jax.random.key(2))
+        params["temporal_attention_bias"]["embedding"] = jnp.asarray(
+            np.random.default_rng(3).normal(size=(8, 2)).astype(np.float32))
+        rng = np.random.default_rng(4)
+        ids = jnp.asarray(rng.integers(3, 60, size=(2, 12)).astype(np.int32))
+        mask = jnp.asarray((np.arange(12)[None, :] < np.array([[12], [7]]))
+                           .astype(np.int32))
+        ts = jnp.asarray((1_600_000_000 + np.cumsum(
+            rng.integers(60, 9000, size=(2, 12)), axis=1)).astype(np.int32))
+        out_r = enc.apply(params, ids * mask, mask, input_timestamps=ts)
+        out_f = enc_fused.apply(params, ids * mask, mask,
+                                input_timestamps=ts)
+        np.testing.assert_allclose(
+            np.asarray(out_f["sequence_output"]),
+            np.asarray(out_r["sequence_output"]), rtol=2e-2, atol=5e-3)
+
     def test_fused_model_grads_flow(self):
         from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
         cfg = BERT4RecConfig(vocab_size=50, hidden_size=32, num_layers=2,
