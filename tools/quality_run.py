@@ -57,10 +57,13 @@ def build_argparser():
                         "(335k items single-chip, table streamed in VMEM "
                         "tiles)")
     p.add_argument("--smoke-family", default="bert4rec",
-                   choices=["bert4rec", "sasrec"],
-                   help="--smoke model family: masked-LM BERT4Rec or "
-                        "causal next-item SASRec (same harness, same "
-                        "protocol)")
+                   choices=["bert4rec", "sasrec", "temporal"],
+                   help="--smoke model family: masked-LM BERT4Rec, causal "
+                        "next-item SASRec (same harness, same protocol), "
+                        "or the TEMPORAL family — a copy-by-time-delta "
+                        "rule only a time-aware model can express, gated "
+                        "against a time-blind ablation (its own harness; "
+                        "--smoke-scale is ignored)")
     p.add_argument("--resume", action="store_true",
                    help="resume from an existing checkpoint in the output "
                         "dir. Default OFF: a quality measurement starts "
@@ -348,6 +351,135 @@ _ORACLE_PRESETS = {
 }
 
 
+def run_smoke_temporal(args):
+    """Temporal-family quality gate: a planted COPY-BY-TIME-DELTA rule —
+    item_i repeats the earlier item whose timestamp is closest to
+    T0 = 1 day before t_i — that relative-time attention can express and
+    a time-blind model cannot (gaps are bimodal {1 h, 12 h}, so "1 day
+    ago" lands 2..24 POSITIONS back; position alone carries no signal).
+
+    The gate ranks the ground truth against the FULL catalog with NO
+    exclusions (model.gt_ranks_full_vocab): the sampled and the
+    exclusion-based full-ranking protocols both remove seen items from
+    the competitor set, and the planted target IS a seen item — any
+    "upweight seen items" prior would ace those. Here the other ~20 seen
+    items compete, so only picking the time-selected one scores.
+    Asserts the temporal model beats an identically-trained TIME-BLIND
+    ablation by a wide margin."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bert4rec_tpu.dataloaders.processed_dataset import (
+        MaskingConfig, ProcessedDataset,
+    )
+    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
+    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
+
+    n_items, seq, warmup = 512, 48, 24
+    t0_delta = 86_400
+    vocab = n_items + 3
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def gen(n, sd):
+        r = np.random.default_rng(sd)
+        seqs, tss = [], []
+        for _ in range(n):
+            ln = int(r.integers(40, seq + 1))
+            gaps = r.choice([3_600, 43_200], size=ln)
+            ts = (1_600_000_000 + np.cumsum(gaps)).astype(np.int64)
+            items = r.integers(3, vocab, size=ln).astype(np.int32)
+            for i in range(warmup, ln):
+                j = int(np.argmin(np.abs((ts[i] - t0_delta) - ts[:i])))
+                items[i] = items[j]
+            seqs.append(items)
+            tss.append(ts)
+        return seqs, tss
+
+    cfg = MaskingConfig(max_seq_len=seq, max_predictions_per_seq=12,
+                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                        masked_lm_rate=0.3)
+    train_seqs, train_ts = gen(3072, 0)
+    test_seqs, test_ts = gen(512, 1)
+    train = ProcessedDataset(train_seqs, cfg, lambda: vocab,
+                             finetuning=np.zeros(len(train_seqs), bool),
+                             timestamps=train_ts)
+    test = ProcessedDataset(test_seqs, cfg, lambda: vocab,
+                            finetuning=np.ones(len(test_seqs), bool),
+                            timestamps=test_ts)
+
+    def train_model(temporal: bool):
+        model = BERT4RecModel(config=BERT4RecConfig(
+            vocab_size=vocab, max_sequence_length=seq,
+            max_predictions_per_seq=12, hidden_size=64, num_layers=2,
+            num_attention_heads=4, inner_dim=128,
+            use_fused_layer=on_tpu, use_fused_loss=on_tpu,
+            use_temporal_embeddings=temporal,
+            use_temporal_attention=temporal))
+        trainer = BERT4RecTrainer(model, steps_per_call=4 if on_tpu else 1)
+        trainer.initialize_model(
+            optimizer=optimizers.create_adam_w_optimizer(
+                init_lr=3e-3, num_train_steps=20_000, num_warmup_steps=50),
+            rng=jax.random.key(args.seed))
+        trainer.train(train, epochs=30, batch_size=128, verbose=False,
+                      seed=args.seed)
+        return model, trainer.params
+
+    def rank_metrics(model, params):
+        """HR@k of the LOO ground truth vs the ENTIRE catalog, nothing
+        excluded — seen items compete."""
+        ranks_all = []
+        fn = None
+        for batch in test.batches(128, shuffle=False, seed=0):
+            feats = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k not in ("labels", "example_weights")}
+            if fn is None:
+                fn = jax.jit(lambda p, b: model.gt_ranks_full_vocab(
+                    p, b, exclude=None))
+            r = np.asarray(fn(params, feats))
+            w = np.asarray(batch["masked_lm_weights"]) > 0
+            ranks_all.append(r[w])
+        ranks = np.concatenate(ranks_all)
+        return {f"HR@{k}": float((ranks <= k).mean()) for k in (1, 5, 10)}
+
+    t0 = time.time()
+    model_t, params_t = train_model(True)
+    res_t = rank_metrics(model_t, params_t)
+    print(f"[temporal-smoke] temporal model: {res_t}", flush=True)
+    model_b, params_b = train_model(False)
+    res_b = rank_metrics(model_b, params_b)
+    print(f"[temporal-smoke] time-blind ablation: {res_b}", flush=True)
+
+    # HR@1 is the discriminating metric: the copy rule makes the GT a
+    # FREQUENT in-sequence item, so a time-blind frequency/recency prior
+    # still packs it into the top-10 (measured blind HR@10 0.95 vs
+    # temporal 0.97) — but picking it FIRST requires the time signal
+    # (measured 0.93 vs 0.45)
+    checks = {
+        "temporal_learns_rule": res_t["HR@1"] >= 0.6,
+        "ablation_cannot": res_t["HR@1"] >= res_b["HR@1"] + 0.25,
+        "hr1_separates": res_t["HR@1"] >= 1.5 * max(res_b["HR@1"], 1e-6),
+    }
+    emit(args.out or "quality_runs/smoke_temporal", {
+        "dataset": "synthetic copy-by-time-delta (temporal smoke)",
+        "platform": jax.devices()[0].platform,
+        "generator": {"n_items": n_items, "seq": seq, "warmup": warmup,
+                      "t0_delta_s": t0_delta, "gaps_s": [3600, 43200],
+                      "train_rows": len(train_seqs), "epochs": 30},
+        "protocol": "full-catalog GT rank, NO exclusions (seen items "
+                    "compete; the exclusion protocols cannot "
+                    "discriminate copy rules)",
+        "wall_seconds": time.time() - t0,
+        "results": res_t,  # primary = the temporal model (emit contract)
+        "results_time_blind_ablation": res_b,
+        "checks": checks,
+    })
+    print(json.dumps(checks))
+    if not all(checks.values()):
+        print("[temporal-smoke] GATE FAILED", file=sys.stderr)
+        return 1
+    return 0
+
+
 def run_oracle(args):
     import numpy as np
     import jax
@@ -486,6 +618,8 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     if args.oracle:
         return run_oracle(args)
+    if args.smoke and args.smoke_family == "temporal":
+        return run_smoke_temporal(args)
     return run_smoke(args) if args.smoke else run_real(args)
 
 

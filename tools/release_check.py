@@ -101,8 +101,10 @@ def main(argv=None):
               600)
 
     if not args.cpu_only:
+        # nine variants (incl. the 12-layer bert_base_512 compile and the
+        # 335k-vocab reddit_tiled) + the full numerics chain need headroom
         stage("tpu-perf-guard",
-              [PY, "tools/perf_guard.py", "--numerics"], 580, tpu=True)
+              [PY, "tools/perf_guard.py", "--numerics"], 1500, tpu=True)
         # ml1m covers the whole-table-in-VMEM fused loss; ml20m covers the
         # vocab-tiled flash-softmax loss inside the same quality loop
         for scale in ("ml1m", "ml20m"):
