@@ -147,6 +147,97 @@ class TestProtocolSensitivity:
         assert abs(res["HR@10"] - bench["oracle"]["HR@10"]) >= 0.02
 
 
+class TestSASRecFamilyGate:
+    """The same non-saturating benchmark gates the CAUSAL next-item
+    family (tools/quality_run.py --oracle --oracle-family sasrec).
+
+    Under the next-item protocol the predicted position holds its own
+    context item (the label is the FOLLOWING item —
+    dataloader_utils.next_item_features), so the Bayes oracle conditions
+    one step later: ``context_offset=1``; ``context_offset=0`` is the
+    off-by-one bug under this protocol.
+    """
+
+    @pytest.fixture(scope="class")
+    def next_item_test(self, bench):
+        cfg = MaskingConfig(max_seq_len=SEQ, max_predictions_per_seq=8,
+                            mask_token_id=1, pad_token_id=0,
+                            unk_token_id=2, masked_lm_rate=0.3)
+        seqs = bench["cat"].sample_sequences(512, 16, SEQ, seed=2)
+        return ProcessedDataset(seqs, cfg, lambda: bench["cat"].vocab_size,
+                                finetuning=np.ones(len(seqs), bool),
+                                task="next_item")
+
+    def test_next_item_oracle_offset_and_ceiling(self, bench,
+                                                 next_item_test):
+        """offset=1 is the Bayes predictor for next-item batches — same
+        non-saturated ceiling as the MLM protocol on the same law — and
+        offset=0 (conditioning one step early) collapses."""
+        o = evaluate_scorer(
+            MarkovOracleScorer(bench["cat"], context_offset=1), None,
+            next_item_test, source=bench["source"], sample_size=SAMPLE,
+            seed=0)
+        assert 0.70 <= o["HR@10"] <= 0.92, o["HR@10"]
+        assert abs(o["HR@10"] - bench["oracle"]["HR@10"]) <= 0.06
+        broken = evaluate_scorer(
+            MarkovOracleScorer(bench["cat"], context_offset=0), None,
+            next_item_test, source=bench["source"], sample_size=SAMPLE,
+            seed=0)
+        assert broken["HR@10"] <= 0.75 * o["HR@10"]
+
+    def test_sasrec_closes_gap_and_noncausal_leak_collapses(
+            self, bench, next_item_test):
+        """A trained SASRec must reach >=80% of the causal Bayes ceiling;
+        the SAME training run with bidirectional attention (the
+        missing-causal-mask bug: each label is visible at position p+1 of
+        its own input) must collapse at eval, where the target is dropped
+        from the input."""
+        from bert4rec_tpu.models import (
+            BERT4RecConfig, BERT4RecModel, SASRecModel, model_utils,
+        )
+        from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
+
+        cat = bench["cat"]
+        cfg = MaskingConfig(max_seq_len=SEQ, max_predictions_per_seq=8,
+                            mask_token_id=1, pad_token_id=0,
+                            unk_token_id=2, masked_lm_rate=0.3)
+        train = ProcessedDataset(bench["train_seqs"], cfg,
+                                 lambda: cat.vocab_size, task="next_item")
+
+        def fit(model_cls, epochs):
+            model = model_cls(config=BERT4RecConfig(
+                vocab_size=cat.vocab_size, hidden_size=64, num_layers=2,
+                num_attention_heads=4, inner_dim=128,
+                max_sequence_length=SEQ, max_predictions_per_seq=8))
+            params = model_utils.init_output_bias_from_popularity(
+                model.init(jax.random.key(0)),
+                np.bincount(bench["source"], minlength=cat.vocab_size))
+            trainer = BERT4RecTrainer(model)
+            trainer.initialize_model(
+                optimizer=optimizers.create_adam_w_optimizer(
+                    init_lr=1e-3, num_train_steps=20_000,
+                    num_warmup_steps=50),
+                params=params)
+            trainer.train(train, epochs=epochs, batch_size=128,
+                          verbose=False, seed=42)
+            return evaluate_scorer(model, trainer.params, next_item_test,
+                                   source=bench["source"],
+                                   sample_size=SAMPLE, seed=0)
+
+        o = evaluate_scorer(
+            MarkovOracleScorer(cat, context_offset=1), None,
+            next_item_test, source=bench["source"], sample_size=SAMPLE,
+            seed=0)
+        res = fit(SASRecModel, epochs=40)
+        assert res["HR@10"] / o["HR@10"] >= 0.80, (res["HR@10"], o["HR@10"])
+        assert res["HR@10"] <= o["HR@10"] + 0.05
+        # the bidirectional model converges to copying in a few epochs —
+        # and that copy signal is exactly what eval takes away
+        leaked = fit(BERT4RecModel, epochs=15)
+        assert leaked["HR@10"] <= res["HR@10"] - 0.10, \
+            (leaked["HR@10"], res["HR@10"])
+
+
 class TestModelClosesOracleGap:
     """The quantitative quality gate: a correctly-trained BERT4Rec must
     reach >=80% of the Bayes ceiling on HR@10 (and not materially beat

@@ -82,6 +82,16 @@ def build_argparser():
                    help="--oracle size: 'tiny' (CPU, ~2 min) or 'ml1m' "
                         "(3706-item catalog, seq 200, ml-1m_128 encoder "
                         "shape — run on chip)")
+    p.add_argument("--oracle-family", default="bert4rec",
+                   choices=["bert4rec", "sasrec"],
+                   help="--oracle model family. 'sasrec' gates the causal "
+                        "next-item family on the same planted Markov "
+                        "structure (Bayes context sits AT the predicted "
+                        "position, so the oracle conditions one step later) "
+                        "and swaps the train-side broken variant for the "
+                        "missing-causal-mask bug: a bidirectional model on "
+                        "the next-item task peeks at its target during "
+                        "training and must collapse at eval")
     p.add_argument("--full-ranking", action="store_true",
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
@@ -491,12 +501,20 @@ def run_oracle(args):
         MarkovCatalog, MarkovOracleScorer, evaluate_scorer,
     )
     from bert4rec_tpu.models import (
-        BERT4RecConfig, BERT4RecModel, model_utils,
+        BERT4RecConfig, BERT4RecModel, SASRecModel, model_utils,
     )
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
     ps = _ORACLE_PRESETS[args.oracle_scale]
     on_tpu = jax.devices()[0].platform == "tpu"
+    sasrec = args.oracle_family == "sasrec"
+    # next-item protocol: the predicted position holds its own context
+    # item (the label is the FOLLOWING item, dataloader_utils.py
+    # next_item_features), so the Bayes oracle conditions one step later
+    # than under MLM (where the position holds [MASK] and the context is
+    # the token before it)
+    task = "next_item" if sasrec else "mlm"
+    ctx = 1 if sasrec else 0
     t0 = time.time()
     cat = MarkovCatalog(n_items=ps["n_items"], branching=ps["branching"],
                         alpha=ps["alpha"], zipf_s=ps["zipf_s"],
@@ -510,20 +528,24 @@ def run_oracle(args):
                         mask_token_id=1, pad_token_id=0, unk_token_id=2,
                         masked_lm_rate=ps["mask_rate"])
     test = ProcessedDataset(test_seqs, cfg, lambda: cat.vocab_size,
-                            finetuning=np.ones(len(test_seqs), bool))
+                            finetuning=np.ones(len(test_seqs), bool),
+                            task=task)
     source = [int(t) for s in train_seqs for t in s]
     counts = np.bincount(source, minlength=cat.vocab_size)
 
     def r4(d, keys=("HR@1", "HR@5", "HR@10", "NDCG@10", "MAP")):
         return {k: round(float(d[k]), 4) for k in keys if k in d}
 
-    def train_model(mask_rate, tag):
+    def train_model(mask_rate, tag, model_cls=None):
         mcfg = MaskingConfig(max_seq_len=ps["seq"],
                              max_predictions_per_seq=ps["max_pred"],
                              mask_token_id=1, pad_token_id=0,
                              unk_token_id=2, masked_lm_rate=mask_rate)
-        train = ProcessedDataset(train_seqs, mcfg, lambda: cat.vocab_size)
-        model = BERT4RecModel(config=BERT4RecConfig(
+        train = ProcessedDataset(train_seqs, mcfg, lambda: cat.vocab_size,
+                                 task=task)
+        if model_cls is None:
+            model_cls = SASRecModel if sasrec else BERT4RecModel
+        model = model_cls(config=BERT4RecConfig(
             vocab_size=cat.vocab_size, max_sequence_length=ps["seq"],
             max_predictions_per_seq=ps["max_pred"],
             use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
@@ -545,7 +567,8 @@ def run_oracle(args):
         print(f"[oracle-bench] {tag}: {r4(res)}")
         return res
 
-    oracle = evaluate_scorer(MarkovOracleScorer(cat), None, test,
+    oracle = evaluate_scorer(MarkovOracleScorer(cat, context_offset=ctx),
+                             None, test,
                              source=source, sample_size=ps["sample_size"],
                              seed=0, batch_size=ps["batch_size"])
     print(f"[oracle-bench] bayes oracle: {r4(oracle)}")
@@ -554,21 +577,37 @@ def run_oracle(args):
         source=source, sample_size=ps["sample_size"], seed=0,
         batch_size=ps["batch_size"])
     off_by_one = evaluate_scorer(
-        MarkovOracleScorer(cat, context_offset=-1), None, test,
+        MarkovOracleScorer(cat, context_offset=ctx - 1), None, test,
         source=source, sample_size=ps["sample_size"], seed=0,
         batch_size=ps["batch_size"])
     shuffled = evaluate_scorer(
-        MarkovOracleScorer(cat), None, test, source=source,
+        MarkovOracleScorer(cat, context_offset=ctx), None, test,
+        source=source,
         sample_size=ps["sample_size"], seed=0, sampler="random",
         batch_size=ps["batch_size"])
 
     res_model = train_model(ps["mask_rate"], "trained model")
-    # train-side broken variant: a near-zero masking rate leaves ONE
-    # masked position per sequence (rates above max_pred/len are capped
-    # by max_predictions_per_seq, so "too high" is not observable) —
-    # ~7x less training signal at the same epoch budget, which the
-    # benchmark must see as a measurable quality drop
-    res_broken_mask = train_model(0.02, "broken masking-rate 0.02")
+    if sasrec:
+        # train-side broken variant: the missing-causal-mask bug. A
+        # bidirectional model on the next-item task sees each label in
+        # its own input (the item at position p+1) and learns to copy it
+        # — then collapses at eval, where the target item is dropped
+        # from the input (next_item_features pads it out)
+        res_broken_train = train_model(
+            ps["mask_rate"], "broken non-causal next-item",
+            model_cls=BERT4RecModel)
+        broken_train_key = "results_broken_noncausal"
+        broken_train_check = "noncausal_leak_collapses"
+    else:
+        # train-side broken variant: a near-zero masking rate leaves ONE
+        # masked position per sequence (rates above max_pred/len are
+        # capped by max_predictions_per_seq, so "too high" is not
+        # observable) — ~7x less training signal at the same epoch
+        # budget, which the benchmark must see as a measurable quality
+        # drop
+        res_broken_train = train_model(0.02, "broken masking-rate 0.02")
+        broken_train_key = "results_broken_masking_rate"
+        broken_train_check = "wrong_masking_rate_degrades"
 
     gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
     gap_ndcg = (float(res_model["NDCG@10"])
@@ -584,13 +623,16 @@ def run_oracle(args):
             float(off_by_one["HR@10"]) <= 0.8 * float(oracle["HR@10"]),
         "shuffled_negatives_inflate":
             float(shuffled["HR@10"]) >= float(oracle["HR@10"]) + 0.01,
-        "wrong_masking_rate_degrades":
-            float(res_broken_mask["HR@10"])
+        broken_train_check:
+            float(res_broken_train["HR@10"])
             <= float(res_model["HR@10"]) - 0.03,
     }
     out_default = f"quality_runs/oracle_{args.oracle_scale}"
+    if sasrec:
+        out_default += "_sasrec"
     emit(args.out or out_default, {
-        "dataset": f"markov-oracle benchmark ({args.oracle_scale})",
+        "dataset": f"markov-oracle benchmark ({args.oracle_scale}, "
+                   f"{args.oracle_family})",
         "platform": jax.devices()[0].platform,
         "generator": {k: ps[k] for k in
                       ("n_items", "branching", "alpha", "zipf_s", "seq",
@@ -603,8 +645,8 @@ def run_oracle(args):
             {k: float(v) for k, v in off_by_one.items()},
         "results_broken_shuffled_negatives":
             {k: float(v) for k, v in shuffled.items()},
-        "results_broken_masking_rate":
-            {k: float(v) for k, v in res_broken_mask.items()},
+        broken_train_key:
+            {k: float(v) for k, v in res_broken_train.items()},
         "oracle_gap": {"HR@10_ratio": round(gap_hr, 4),
                        "NDCG@10_ratio": round(gap_ndcg, 4)},
         "checks": checks,
