@@ -1,0 +1,224 @@
+"""Measure EVERY shipped encoder config on the real chip.
+
+The reference ships 13 encoder configs (per-dataset x hidden size;
+reference bert4rec/config/bert4rec_train_configs/*.json) and our
+config/ mirrors them file-for-file. Until now only a handful of shapes
+had on-chip numbers (perf_guard's variants); this tool makes "supported"
+mean "measured" for the whole config surface: it builds the fused train
+step for all 13 configs with their dataset's golden catalog size
+(reference tests/datalaoders_tests/bert4rec_dataloaders_tests.py:222-250)
+and the reference dataloader's seq/prediction defaults (reference
+bert4rec_ml1m_dataloader.py:9 etc.).
+
+Measurement design (learned the hard way): configs are measured
+SEQUENTIALLY in one process, each trainer freed before the next — an
+early interleaved-13-resident-variants design inflated the small
+configs 2x (ml-1m_128 measured 22.6 ms interleaved vs 10.2 ms alone in
+the same process; perf_guard's 9-variant interleave shows no such
+effect at its sizes). The tunnel's SUSTAINED drift is the remaining
+hazard (one sequential run measured ml-20m_64 at 45 ms mid-drift vs
+20.5 ms in a neighboring process), so a resident SENTINEL trainer
+(ml-1m_128) is timed immediately before every config window and each
+row carries both the raw number and a drift-normalized one
+(raw x sentinel_best / sentinel_at_window). Within every window,
+min-of-rounds absorbs short bursts.
+
+    python tools/config_sweep.py --json-out CONFIG_SWEEP_r03.json
+
+Output: one row per config file — ms/step, examples/s, and which
+kernels the shape routed to (the routing guards are
+bert4rec_model.loss_and_metrics and bert4rec_encoder's fused_ok check).
+Runs on TPU; refuses elsewhere.
+"""
+
+import argparse
+import gc
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402  (model/batch construction, honest-barrier rules)
+
+CONFIG_DIR = (pathlib.Path(__file__).resolve().parent.parent
+              / "bert4rec_tpu" / "config" / "bert4rec_train_configs")
+
+# golden item counts + 3 special tokens ([PAD],[MASK],[UNK]) and the
+# reference dataloader defaults (max_seq_len comes from the config file
+# itself; max_predictions_per_seq from the per-dataset loader defaults)
+DATASET_DIMS = {
+    "ml-1m": dict(vocab=3706 + 3, npred=40),
+    "ml-20m": dict(vocab=26729 + 3, npred=40),
+    "beauty": dict(vocab=54542 + 3, npred=30),
+    "steam": dict(vocab=13044 + 3, npred=20),
+    "reddit": dict(vocab=335420 + 3, npred=40),
+}
+
+BATCH = 256  # the reference's typical training batch (examples/*.py)
+WARMUP = 8
+STEPS_PER_ROUND = 24
+ROUNDS = 5
+SENTINEL = "ml-1m_128"  # re-measured at the end as the drift sentinel
+
+
+def dataset_of(config_name: str) -> str:
+    return config_name.rsplit("_", 1)[0]
+
+
+def build_overrides(name: str, cfg: dict) -> tuple:
+    dims = DATASET_DIMS[dataset_of(name)]
+    seq = cfg["max_sequence_length"]
+    overrides = dict(
+        vocab_size=dims["vocab"],
+        hidden_size=cfg["hidden_size"],
+        inner_dim=cfg["inner_dim"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_layers=cfg["num_layers"],
+        max_sequence_length=seq,
+        attention_dropout=cfg["attention_dropout"],
+        output_dropout=cfg["output_dropout"],
+        max_predictions_per_seq=dims["npred"],
+        use_fused_layer=True, use_fused_loss=True,
+    )
+    return overrides, (dims["vocab"], seq, dims["npred"])
+
+
+class Runner:
+    """One config's trainer + batch stacks + timing loop. min-of-rounds
+    ms/step with a `float(jax.device_get(...))` barrier per round
+    (block_until_ready is not reliable on this platform)."""
+
+    def __init__(self, overrides: dict, dims: tuple):
+        import numpy as np
+        vocab, seq, npred = dims
+        self.trainer = bench.build(overrides, steps_per_call=4)
+        saved = (bench.VOCAB, bench.SEQ, bench.NPRED, bench.BATCH)
+        bench.VOCAB, bench.SEQ, bench.NPRED, bench.BATCH = (
+            vocab, seq, npred, BATCH)
+        bs = [bench.make_batch(s) for s in range(4)]
+        bench.VOCAB, bench.SEQ, bench.NPRED, bench.BATCH = saved
+        self.stacks = [
+            {key: np.stack([bs[(i + j) % 4][key] for j in range(4)])
+             for key in bs[0]} for i in range(2)]
+
+    def run_steps(self, n):
+        tr = self.trainer
+        for i in range(n // 4):
+            tr.state, logs = tr._train_multi_fn(
+                tr.state, self.stacks[i % len(self.stacks)])
+        return logs
+
+    def warm(self):
+        import jax
+        t0 = time.perf_counter()
+        float(jax.device_get(self.run_steps(WARMUP)["loss"][-1]))
+        return time.perf_counter() - t0
+
+    def time_rounds(self, rounds):
+        import jax
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            logs = self.run_steps(STEPS_PER_ROUND)
+            float(jax.device_get(logs["loss"][-1]))  # honest barrier
+            best = min(best, (time.perf_counter() - t0) * 1000
+                       / STEPS_PER_ROUND)
+        return best
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json-out", default=None)
+    parser.add_argument("--rounds", type=int, default=ROUNDS)
+    args = parser.parse_args(argv)
+
+    import jax
+    assert jax.devices()[0].platform == "tpu", (
+        "config_sweep measures real hardware; run it on the TPU "
+        f"(got {jax.devices()})")
+    from bert4rec_tpu.ops.fused_encoder_layer import fused_layer_supported
+    from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
+
+    config_files = sorted(CONFIG_DIR.glob("*.json"))
+    assert len(config_files) == 13, config_files
+
+    # the resident drift sentinel, warmed once and timed before every
+    # config window
+    sent_over, sent_dims = build_overrides(
+        SENTINEL, json.loads((CONFIG_DIR / f"{SENTINEL}.json").read_text()))
+    sentinel = Runner(sent_over, sent_dims)
+    sentinel.warm()
+    sentinel_windows = []
+
+    raw = {}
+    meta = {}
+    for path in config_files:
+        name = path.stem
+        overrides, dims = build_overrides(name, json.loads(path.read_text()))
+        runner = Runner(overrides, dims)
+        compile_s = runner.warm()
+        sent_ms = sentinel.time_rounds(2)
+        ms = runner.time_rounds(args.rounds)
+        sentinel_windows.append(sent_ms)
+        raw[name] = (ms, sent_ms)
+        mcfg = runner.trainer.model.config
+        vocab, seq, npred = dims
+        meta[name] = {
+            "vocab": vocab, "seq": seq, "npred": npred, "batch": BATCH,
+            "layer_kernel": ("fused_layer" if fused_layer_supported(
+                batch=BATCH, seq_len=seq, hidden=mcfg.hidden_size,
+                inner_dim=mcfg.inner_dim,
+                num_heads=mcfg.num_attention_heads,
+                dtype_bytes=2, temporal=False) else "xla_fallback"),
+            "loss_kernel": ("whole_table" if fused_loss_supported(
+                mcfg.padded_vocab_size, mcfg.table_width)
+                else "vocab_tiled"),
+        }
+        print(f"[config_sweep] {name}: {ms:.2f} ms/step raw "
+              f"(sentinel {sent_ms:.2f} ms, compile {compile_s:.1f}s)",
+              flush=True)
+        del runner
+        gc.collect()
+
+    sent_best = min(sentinel_windows)
+    rows = {}
+    for name, (ms, sent_ms) in raw.items():
+        norm = ms * sent_best / sent_ms
+        rows[name] = {
+            **meta[name],
+            "ms_per_step": round(norm, 3),
+            "examples_per_sec": round(BATCH / norm * 1000, 1),
+            "ms_per_step_raw": round(ms, 3),
+            "sentinel_ms_at_window": round(sent_ms, 3),
+        }
+
+    drift = max(sentinel_windows) / sent_best
+    report = {
+        "configs": rows,
+        "sentinel": {"config": SENTINEL,
+                     "best_ms": round(sent_best, 3),
+                     "worst_ms": round(max(sentinel_windows), 3),
+                     "max_drift": round(drift, 3)},
+        "note": "fused layer+loss path, steps_per_call=4, sequential "
+                "per-config min-of-rounds, one process, v5e. ms_per_step "
+                "is drift-normalized: raw x sentinel_best / "
+                "sentinel_at_window (the resident ml-1m_128 sentinel is "
+                "timed before every window; the tunnel shows sustained "
+                "drift across a run)",
+    }
+    print(json.dumps(report))
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(
+            json.dumps(report, indent=2) + "\n")
+    if drift > 2.0:
+        print("[config_sweep] WARNING: sentinel drifted beyond 2x across "
+              "the sweep; treat cross-config comparisons with care",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

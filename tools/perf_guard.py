@@ -7,8 +7,11 @@ run-to-run variance on this platform is ~±30%; interleaving in one process
 removes it):
 
     xla         — pure XLA step (no Pallas kernels)
+    xla_multi4  — XLA step under 4-step lax.scan dispatch (the speedup
+                  floor's baseline: same dispatch mode as fused_multi4)
     fused_layer — whole-layer Pallas fusion
-    fused_full  — fused layer + fused tied-softmax loss (the bench config)
+    fused_full  — fused layer + fused tied-softmax loss
+    fused_multi4 — fused_full under 4-step dispatch (the bench config)
 
 Asserts against the stored budgets below and optionally re-runs the kernel
 numerics checks (tools/verify_kernels_on_tpu.py) first:
@@ -40,7 +43,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 # worst-observed x ~1.15; a genuine kernel regression (the 2x fused win
 # disappearing) still trips the speedup floor and these ceilings.
 BUDGET_MS = {
-    "fused_full": 15.0,
+    # single-dispatch fused path: drift bursts have measured it at 15.0
+    # in a process whose fused_multi4 sat at 10.0 (2026-08 tunnel state);
+    # ceiling = worst-observed x ~1.15
+    "fused_full": 17.5,
     "fused_layer": 17.0,
     "fused_multi4": 11.5,
     "ml20m_tiled": 25.0,
@@ -65,6 +71,12 @@ BUDGET_MS = {
     # [B, n, S, S] HBM bias). Budget = x ~1.2 drift ceiling.
     "temporal_multi4": 44.0,
 }
+# the speedup floor compares xla_multi4 vs fused_multi4 — SAME dispatch
+# mode, so the ratio isolates the kernels. (It originally compared the
+# single-dispatch fused_full against single-dispatch xla and flaked at
+# 1.31x in an otherwise-healthy process: the tunnel's drift bursts hit
+# single-dispatch variants hardest — fused_full measured 15.0 ms while
+# fused_multi4 sat at 10.0 in the same run.)
 MIN_SPEEDUP_FUSED_VS_XLA = 1.35
 
 WARMUP = 5
@@ -103,6 +115,7 @@ def main(argv=None):
     import numpy as np
     variants = {
         "xla": build_trainer(False, False),
+        "xla_multi4": build_trainer(False, False, steps_per_call=4),
         "fused_layer": build_trainer(True, False),
         "fused_full": build_trainer(True, True),
         "fused_multi4": build_trainer(True, True, steps_per_call=4),
@@ -201,7 +214,7 @@ def main(argv=None):
             ms = (time.perf_counter() - t0) * 1000 / n_exec
             best_ms[name] = min(best_ms[name], ms)
 
-    speedup = best_ms["xla"] / best_ms["fused_full"]
+    speedup = best_ms["xla_multi4"] / best_ms["fused_multi4"]
     batch_of = {name: VARIANT_DIMS.get(name, (0, 0, 0, BATCH))[3]
                 for name in variants}
     report = {
