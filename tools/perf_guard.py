@@ -226,7 +226,8 @@ def main(argv=None):
     }
     print(json.dumps(report))
     if args.json_out:
-        pathlib.Path(args.json_out).write_text(json.dumps(report, indent=2))
+        pathlib.Path(args.json_out).write_text(
+            json.dumps(report, indent=2) + "\n")
 
     failures = [f"{name}: {best_ms[name]:.2f} ms > budget {budget} ms"
                 for name, budget in BUDGET_MS.items()
@@ -240,13 +241,18 @@ def main(argv=None):
         # BEFORE the perf verdict, so a perf regression never hides a
         # numerics breakage
         import verify_kernels_on_tpu as vk
-        vk.main()
-        vk.verify_fused_layer()
-        vk.verify_tiled_loss()
-        vk.verify_tiled_loss_reddit()
-        vk.verify_tiled_loss_bf16()
-        vk.verify_flash_bert_base_shape()
-        vk.verify_fused_temporal()
+        checks = ["main", "verify_fused_layer", "verify_tiled_loss",
+                  "verify_tiled_loss_reddit", "verify_tiled_loss_bf16",
+                  "verify_flash_bert_base_shape", "verify_fused_temporal"]
+        for name in checks:
+            getattr(vk, name)()
+        # record the chain in the artifact so each round's evidence shows
+        # the on-chip kernel numerics (incl. hardware-only PRNG/dropout
+        # paths that interpret mode cannot validate) actually ran
+        report["numerics"] = {"status": "ok", "checks": checks}
+        if args.json_out:
+            pathlib.Path(args.json_out).write_text(
+                json.dumps(report, indent=2) + "\n")
         print("[perf_guard] kernel numerics OK")
 
     if failures:
