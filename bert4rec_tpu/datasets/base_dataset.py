@@ -8,6 +8,7 @@ classmethod-only API where ``load_data()`` orchestrates
 """
 
 import abc
+import os
 from typing import Optional
 
 import pandas as pd
@@ -27,6 +28,14 @@ class BaseDataset(abc.ABC):
 
     @classmethod
     def load_data(cls) -> pd.DataFrame:
+        # global smoke knob: ``BERT4REC_TPU_LOAD_N_RECORDS=<n>`` caps every
+        # dataset that was not capped explicitly — this is how the example
+        # scripts (full-corpus API surface) run offline in the test suite
+        # on a synthetic corpus in minutes instead of hours
+        if cls.load_n_records is None:
+            env = os.environ.get("BERT4REC_TPU_LOAD_N_RECORDS")
+            if env:
+                cls.load_n_records = int(env)
         if not cls.is_available():
             cls.download()
         df = cls.extract_data()

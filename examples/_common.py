@@ -5,6 +5,7 @@ a few hyperparameters (mirroring the reference's examples/, e.g.
 bert4rec_ml_1m_example.py:14-95); this module holds the one shared flow.
 """
 
+import os
 import pathlib
 
 import jax
@@ -30,6 +31,12 @@ def run_training_example(dataset: str,
                          dataloader_kwargs: dict = None,
                          seed: int = 42):
     """Full train -> evaluate -> save flow for one dataset."""
+    # smoke knob: the test suite executes these scripts end to end on a
+    # synthetic corpus (tools/synth_corpus.py + BERT4REC_TPU_HOME) with a
+    # short epoch budget; the default remains the reference's full run
+    env_epochs = os.environ.get("BERT4REC_TPU_EXAMPLE_EPOCHS")
+    if env_epochs:
+        epochs = int(env_epochs)
     factory = get_dataloader_factory("bert4rec")
     create = getattr(factory, f"create_{dataset}_dataloader")
     dataloader = create(input_duplication_factor=input_duplication_factor,

@@ -20,10 +20,18 @@ def main(save_path: str = "bert4rec_ml-1m_128"):
         "Aladdin (1992)",
         "Lion King, The (1994)",
     ]
-    rank, text = ranker(history, rank_item="Toy Story 2 (1999)")
+    candidates = ["Toy Story 2 (1999)", "GoldenEye (1995)", "Casino (1995)"]
+    # models trained on another corpus (e.g. the synthetic offline one)
+    # have a different catalog; fall back to items it actually knows
+    known = set(extras["tokenizer"].get_vocab()) if "tokenizer" in extras \
+        else set()
+    if known and not all(t in known for t in history + candidates):
+        titles = sorted(known - {"[PAD]", "[MASK]", "[UNK]"})
+        history, candidates = titles[:3], titles[3:6]
+        print("(default titles not in this model's vocab; using its own)")
+    rank, text = ranker(history, rank_item=candidates[0])
     print(text)
 
-    candidates = ["Toy Story 2 (1999)", "GoldenEye (1995)", "Casino (1995)"]
     print(ranker(history, rank_items=candidates))
 
 

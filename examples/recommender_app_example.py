@@ -20,6 +20,13 @@ def main(save_path: str = "bert4rec_ml-1m_128"):
         "Aladdin (1992)",
         "Lion King, The (1994)",
     ]
+    # models trained on another corpus (e.g. the synthetic offline one)
+    # have a different catalog; fall back to items it actually knows
+    known = set(extras["tokenizer"].get_vocab()) if "tokenizer" in extras \
+        else set()
+    if known and not all(t in known for t in history):
+        history = sorted(known - {"[PAD]", "[MASK]", "[UNK]"})[:3]
+        print("(default titles not in this model's vocab; using its own)")
     print("history:", history)
     print("recommendation:", recommender(history))
 

