@@ -204,13 +204,14 @@ class MarkovOracleScorer:
 def evaluate_scorer(scorer, params, test_ds, *, source: Sequence[int],
                     sample_size: int = 100, seed: int = 0,
                     sampler: str = "pop_random",
-                    batch_size: int = 256) -> dict:
+                    batch_size: int = 256, mesh=None) -> dict:
     """Run any model/scorer through the standard evaluator with a fully
     pinned sampler — the helper that makes model-vs-oracle a PAIRED
     comparison (same negatives law, same seed, same rank law).
 
     ``sampler='random'`` is the deliberately-broken shuffled-negatives
-    variant (uniform instead of popularity-weighted draws)."""
+    variant (uniform instead of popularity-weighted draws). ``mesh``
+    scores over a device mesh (sharded params)."""
     from bert4rec_tpu.dataloaders import samplers
     from bert4rec_tpu.evaluation import BERT4RecEvaluator
 
@@ -218,6 +219,6 @@ def evaluate_scorer(scorer, params, test_ds, *, source: Sequence[int],
                      vocab=list(dict.fromkeys(source)),
                      sample_size=sample_size, seed=seed)
     evaluator = BERT4RecEvaluator(sampler=s, sample_size=sample_size,
-                                  seed=seed)
+                                  seed=seed, mesh=mesh)
     return evaluator.evaluate(scorer, params, test_ds,
                               batch_size=batch_size, progress_bar=False)

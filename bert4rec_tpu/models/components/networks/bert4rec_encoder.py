@@ -17,10 +17,12 @@ layer objects. The param *paths* (``item_embeddings/embedding`` etc.) are the
 contract the sharding rules in ``core/partitioning.py`` match against.
 """
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bert4rec_tpu.core.dtypes import DTypePolicy
 from bert4rec_tpu.models.components import layers as L
@@ -29,6 +31,32 @@ from bert4rec_tpu.models.components.transformer import (
     transformer_block,
 )
 from bert4rec_tpu.models.config import BERT4RecConfig
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rel_lookup(n_buckets: int, table, bucket):
+    """``table[bucket]`` (``[nb, n]`` by ``[B, S, S]`` -> ``[B, S, S, n]``)
+    with a TPU-shaped backward: ``jnp.take``'s autodiff VJP is a
+    scatter-add, which serializes on TPU when all 10M+ indices collide
+    into <=64 table rows. The custom backward is one masked reduction per
+    bucket over the cotangent — sibling reduces over the same operand
+    that XLA horizontally fuses into a few VPU passes."""
+    return jnp.take(table, bucket, axis=0)
+
+
+def _rel_lookup_fwd(n_buckets, table, bucket):
+    return _rel_lookup(n_buckets, table, bucket), bucket
+
+
+def _rel_lookup_bwd(n_buckets, bucket, g):
+    rows = [jnp.sum(jnp.where((bucket == k)[..., None], g, 0.0),
+                    axis=(0, 1, 2)) for k in range(n_buckets)]
+    # integer primal -> float0 cotangent
+    dbucket = np.zeros(bucket.shape, dtype=jax.dtypes.float0)
+    return jnp.stack(rows), dbucket
+
+
+_rel_lookup.defvjp(_rel_lookup_fwd, _rel_lookup_bwd)
 
 
 class Bert4RecEncoder:
@@ -145,10 +173,11 @@ class Bert4RecEncoder:
 
         # whole-layer fusion: post-LN only, no query slicing, and either a
         # real TPU or inactive dropout (interpret mode has no PRNG). A
-        # temporal bias does NOT force the fallback: the kernel rebuilds
-        # it per cell from the bucket matrix (fused_encoder_layer
-        # rel_bucket/rel_table — the dense [B, n, S, S] HBM bias made the
-        # temporal step 14x slower than the fused bidirectional one)
+        # temporal bias does NOT force the fallback: the dense per-head
+        # bias is built once per step and STREAMED into the kernel per
+        # cell (fused_encoder_layer rel_bias) — HBM traffic is cheap here;
+        # it was the unfused attention around the dense bias (and later
+        # the in-kernel per-bucket select rebuild) that was slow
         attn_rate = cfg.attention_dropout if training else 0.0
         out_rate = cfg.output_dropout if training else 0.0
         fused_ok = (cfg.use_fused_layer and not cfg.norm_first
@@ -170,16 +199,17 @@ class Bert4RecEncoder:
                 dtype_bytes=jnp.dtype(compute_dtype).itemsize,
                 temporal=temporal_attn)
 
-        rel_bucket = rel_table = None
+        rel_bias = None
         dense_bias = False  # a bias the flash/XLA paths must materialize
         if temporal_attn:
-            rel_table = params["temporal_attention_bias"]["embedding"]
+            rel = self._relative_time_bias(
+                params["temporal_attention_bias"]["embedding"],
+                input_timestamps, input_mask)                 # [B,n,S,S]
             if fused_ok:
-                rel_bucket = self._time_bucket_matrix(
-                    input_timestamps, input_mask, rel_table.shape[0])
+                # streamed into the fused kernel per cell; built ONCE per
+                # step (shared by every layer — XLA CSEs the lookup)
+                rel_bias = rel
             else:
-                rel = self._relative_time_bias(
-                    rel_table, input_timestamps, input_mask)  # [B,n,S,S]
                 attn_bias = attn_bias + rel
                 dense_bias = True
         use_flash = cfg.use_flash_attention and not dense_bias
@@ -203,7 +233,7 @@ class Bert4RecEncoder:
                     attention_dropout=a_rate,
                     output_dropout=o_rate,
                     seed=seed, causal=causal,
-                    rel_bucket=rel_bucket, rel_table=rel_table)
+                    rel_bias=rel_bias)
             else:
                 def run_block(layer_params, x_in, bias, layer_rng,
                               _qr=output_range if is_last else None):
@@ -268,9 +298,9 @@ class Bert4RecEncoder:
 
     @staticmethod
     def _time_bucket_matrix(input_timestamps, input_mask, n_buckets):
-        """``[B, S, S]`` int32 query-key time-delta buckets — the shared
-        law behind both temporal-attention paths (the XLA dense bias and
-        the fused kernel's in-VMEM rebuild).
+        """``[B, S, S]`` int32 query-key time-delta buckets — the index
+        law behind the temporal attention bias (consumed by
+        :meth:`_relative_time_bias` on every attention path).
 
         Bucket law: delta = t_query - t_key in integer seconds (exact for
         int32 stamps; see :meth:`_recency_buckets` on why not float);
@@ -304,13 +334,16 @@ class Bert4RecEncoder:
         signed log2-bucketized query-key time deltas (TiSASRec-style,
         adapted: the paper's interval key/value embeddings become one
         learned scalar per (bucket, head) — an additive score bias, which
-        keeps the attention matmuls dense and MXU-shaped). DENSE-tensor
-        form for the XLA fallback; the fused-layer kernel instead rebuilds
-        the bias per cell from :meth:`_time_bucket_matrix`."""
+        keeps the attention matmuls dense and MXU-shaped). The ONE dense
+        form both attention paths consume: added into ``attn_bias`` on
+        the XLA fallback, streamed per cell into the fused kernel
+        (``rel_bias``). Built via :func:`_rel_lookup`, whose custom VJP
+        replaces the TPU-hostile scatter-add with fused per-bucket
+        reductions."""
         n_buckets, n_heads = bias_table.shape
         bucket = Bert4RecEncoder._time_bucket_matrix(
             input_timestamps, input_mask, n_buckets)
-        rel = jnp.take(bias_table, bucket, axis=0)           # [B, S, S, n]
+        rel = _rel_lookup(n_buckets, bias_table, bucket)     # [B, S, S, n]
         return rel.transpose(0, 3, 1, 2).astype(jnp.float32)
 
     @staticmethod

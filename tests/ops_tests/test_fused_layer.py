@@ -171,9 +171,10 @@ class TestFusedEncoderIntegration:
             np.asarray(out["sequence_output"]), rtol=2e-2, atol=5e-3)
 
     def test_fused_temporal_attention_matches_xla(self):
-        """The temporal relative-time bias rebuilt IN the fused kernel
-        (rel_bucket + rel_table) must match the XLA dense-bias path —
-        forward and gradients including d(temporal_attention_bias)."""
+        """The temporal relative-time bias STREAMED into the fused kernel
+        (rel_bias, with dScores streamed back out for the table grad)
+        must match the XLA dense-bias path — forward and gradients
+        including d(temporal_attention_bias)."""
         from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
         kw = dict(vocab_size=60, hidden_size=32, num_layers=2,
                   num_attention_heads=4, inner_dim=64,

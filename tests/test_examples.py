@@ -84,16 +84,17 @@ def _env(home=None):
     return env
 
 
-def _run(module, env, argv=()):
+def _run(module, env, cwd, argv=()):
     # force the CPU backend from INSIDE the process: the axon TPU plugin
     # ignores JAX_PLATFORMS, and example subprocesses must never claim the
-    # real chip (serial-access discipline)
+    # real chip (serial-access discipline). cwd is a throwaway dir: some
+    # examples drop artifacts relative to the working directory.
     code = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
             f"sys.argv = ['{module}'] + {list(argv)!r}; "
             f"import runpy; runpy.run_module('{module}', "
             "run_name='__main__')")
     proc = subprocess.run(
-        [sys.executable, "-c", code], env=env, cwd=REPO,
+        [sys.executable, "-c", code], env=env, cwd=str(cwd),
         capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, \
         f"{module} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-3000:]}"
@@ -102,26 +103,26 @@ def _run(module, env, argv=()):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("module", SELF_CONTAINED)
-def test_self_contained_example_runs(module):
-    _run(module, _env())
+def test_self_contained_example_runs(module, tmp_path):
+    _run(module, _env(), tmp_path)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("module", CORPUS_BACKED)
-def test_corpus_example_runs(module, synth_home):
-    _run(module, _env(synth_home))
+def test_corpus_example_runs(module, synth_home, tmp_path):
+    _run(module, _env(synth_home), tmp_path)
 
 
 @pytest.mark.slow
-def test_ml1m_lifecycle_chain(synth_home):
+def test_ml1m_lifecycle_chain(synth_home, tmp_path):
     """Train on (synthetic) ML-1M, then drive every downstream consumer
     of the saved artifact — the reference's documented user journey."""
     env = _env(synth_home)
-    _run("examples.bert4rec_ml_1m_example", env)
-    _run("examples.bert4rec_evaluation_example", env)
-    _run("examples.recommender_app_example", env)
-    _run("examples.ranker_app_example", env)
-    _run("examples.serving_server_example", env,
+    _run("examples.bert4rec_ml_1m_example", env, tmp_path)
+    _run("examples.bert4rec_evaluation_example", env, tmp_path)
+    _run("examples.recommender_app_example", env, tmp_path)
+    _run("examples.ranker_app_example", env, tmp_path)
+    _run("examples.serving_server_example", env, tmp_path,
          argv=["bert4rec_ml-1m_128", "0", "demo"])
 
 

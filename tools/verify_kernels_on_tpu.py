@@ -288,11 +288,12 @@ def verify_tiled_loss(vs=26732, v=26752):
 
 
 def verify_fused_temporal():
-    """Fused-layer temporal attention (rel bias rebuilt in VMEM from the
-    bucket matrix + SMEM table) vs the XLA dense-bias path on real
-    hardware — fwd + grads including d(temporal_attention_bias). The
-    SMEM scalar stores and the in-kernel fori_loop select chains only
-    prove out on Mosaic, not in interpret mode."""
+    """Fused-layer temporal attention (dense per-head rel bias STREAMED
+    into the kernel, dScores streamed back out for the table grad) vs
+    the XLA dense-bias path on real hardware — fwd + grads including
+    d(temporal_attention_bias). The [n*S, S] block DMA in/out and the
+    per-bucket fused reductions of the lookup VJP only prove out on
+    Mosaic/XLA-TPU, not in interpret mode."""
     import jax.numpy as jnp
     from bert4rec_tpu.models import BERT4RecConfig, Bert4RecEncoder
 
