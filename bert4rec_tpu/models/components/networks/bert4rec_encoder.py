@@ -36,12 +36,23 @@ from bert4rec_tpu.models.config import BERT4RecConfig
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _rel_lookup(n_buckets: int, table, bucket):
     """``table[bucket]`` (``[nb, n]`` by ``[B, S, S]`` -> ``[B, S, S, n]``)
-    with a TPU-shaped backward: ``jnp.take``'s autodiff VJP is a
-    scatter-add, which serializes on TPU when all 10M+ indices collide
-    into <=64 table rows. The custom backward is one masked reduction per
-    bucket over the cotangent — sibling reduces over the same operand
-    that XLA horizontally fuses into a few VPU passes."""
-    return jnp.take(table, bucket, axis=0)
+    as a ONE-HOT MATMUL in both directions — the TPU-shaped lowering for
+    a tiny-table gather with 10M+ indices (v5e, B=256 S=200 nb=64 n=4,
+    tools/temporal_ablate.py):
+
+      forward:  ``jnp.take``'s gather lowering measured 27.9 ms; the
+                one-hot contraction 2.6 ms (XLA fuses the indicator into
+                the dot operand read — it is never materialized).
+      backward: the gather's scatter-add VJP serializes on colliding
+                indices (segment_sum: 94 ms); 64 sibling masked
+                reductions don't horizontally fuse (8.8 ms); the
+                transposed one-hot contraction measures 2.1 ms.
+
+    The custom VJP keeps only the int32 ``bucket`` as residual so the
+    indicator is regenerated (fused) rather than stored (2.7 GB)."""
+    oh = (bucket[..., None] == jnp.arange(n_buckets)).astype(jnp.float32)
+    return jax.lax.dot_general(oh, table, (((3,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _rel_lookup_fwd(n_buckets, table, bucket):
@@ -49,11 +60,13 @@ def _rel_lookup_fwd(n_buckets, table, bucket):
 
 
 def _rel_lookup_bwd(n_buckets, bucket, g):
-    rows = [jnp.sum(jnp.where((bucket == k)[..., None], g, 0.0),
-                    axis=(0, 1, 2)) for k in range(n_buckets)]
+    oh = (bucket[..., None] == jnp.arange(n_buckets)).astype(jnp.float32)
+    dtable = jax.lax.dot_general(
+        oh.reshape(-1, n_buckets), g.reshape(-1, g.shape[-1]),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     # integer primal -> float0 cotangent
     dbucket = np.zeros(bucket.shape, dtype=jax.dtypes.float0)
-    return jnp.stack(rows), dbucket
+    return dtable, dbucket
 
 
 _rel_lookup.defvjp(_rel_lookup_fwd, _rel_lookup_bwd)

@@ -1,0 +1,136 @@
+"""MFU roofline for the reference-default encoder scale (VERDICT r3 weak
+#4): hidden 768, 12 layers, 12 heads, S=512 — reference
+bert4rec_encoder.py:62-79 defaults — at B=32 on one v5e core.
+
+Measures four variants interleaved in ONE process (min-of-rounds; the
+tunnel's cross-process variance is ±30%):
+
+    remat_k1    — remat + flash attention, single-step dispatch
+                  (the configuration PERF guards as ``bert_base_512``)
+    remat_k4    — same under 4-step lax.scan dispatch
+    noremat_k1  — no remat (flash still recomputes scores in ITS backward;
+                  remat on top re-runs the whole layer forward)
+    noremat_k4  — no remat + 4-step dispatch
+
+and prints one JSON report with the analytic FLOP count and MFU per
+variant.
+
+FLOP accounting (per token, per layer; matmul = 2mnk):
+    qkv        2*H*3H          = 3.54 MF
+    attn out   2*H*H           = 1.18 MF
+    scores+ctx 2*(2*S*H)       = 1.57 MF   (full S; flash tiles it)
+    ffn        2*(2*H*F)       = 9.44 MF
+    total      15.73 MF * 12 layers = 188.8 MF/token
+    * 16384 tokens = 3.09 TF forward; backward ~2x forward.
+Training step (model math, the MFU numerator): 9.28 TF. Recompute
+(remat full-layer re-forward, flash bwd score rebuild) is counted as
+overhead, not useful work. v5e bf16 peak: 197 TF/s.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+B, S, H, F, L = 32, 512, 768, 3072, 12
+NPRED = 76
+PEAK_TFLOPS = 197.0
+
+WARMUP = 3
+STEPS_PER_ROUND = 8
+ROUNDS = 4
+
+
+def train_flops():
+    per_token_layer = (2 * H * 3 * H) + (2 * H * H) + (2 * 2 * S * H) \
+        + 2 * (2 * H * F)
+    fwd = per_token_layer * L * B * S
+    # MLM head at the masked positions only
+    head = 2 * H * bench.VOCAB * B * NPRED
+    return 3 * (fwd + head)  # fwd + ~2x bwd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json-out", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+
+    import numpy as np
+
+    def build(remat, k):
+        return bench.build(
+            dict(hidden_size=H, num_layers=L, num_attention_heads=12,
+                 inner_dim=F, max_sequence_length=S,
+                 max_predictions_per_seq=NPRED, use_fused_layer=False,
+                 use_fused_loss=False, use_flash_attention=True,
+                 remat=remat),
+            steps_per_call=k)
+
+    variants = {
+        "remat_k1": build(True, 1),
+        "remat_k4": build(True, 4),
+        "noremat_k1": build(False, 1),
+        "noremat_k4": build(False, 4),
+    }
+
+    old = (bench.SEQ, bench.NPRED, bench.BATCH)
+    bench.SEQ, bench.NPRED, bench.BATCH = S, NPRED, B
+    batches = [bench.make_batch(s) for s in range(4)]
+    bench.SEQ, bench.NPRED, bench.BATCH = old
+    stacks = [{key: np.stack([batches[(i + j) % 4][key] for j in range(4)])
+               for key in batches[0]} for i in range(2)]
+
+    def run_steps(tr, n):
+        k = tr.steps_per_call
+        if k > 1:
+            for i in range(n // k):
+                tr.state, logs = tr._train_multi_fn(tr.state,
+                                                    stacks[i % 2])
+            return {"loss": logs["loss"][-1]}
+        for i in range(n):
+            tr.state, logs = tr._train_step_fn(tr.state, batches[i % 4])
+        return logs
+
+    for name, tr in variants.items():
+        logs = run_steps(tr, max(WARMUP, tr.steps_per_call))
+        float(jax.device_get(logs["loss"]))
+        print(f"[roofline] {name} compiled", flush=True)
+
+    best_ms = {name: float("inf") for name in variants}
+    for _ in range(ROUNDS):
+        for name, tr in variants.items():
+            k = tr.steps_per_call
+            n = (STEPS_PER_ROUND // k) * k
+            t0 = time.perf_counter()
+            logs = run_steps(tr, n)
+            float(jax.device_get(logs["loss"]))
+            ms = (time.perf_counter() - t0) * 1000 / n
+            best_ms[name] = min(best_ms[name], ms)
+
+    tf = train_flops() / 1e12
+    report = {
+        "config": {"batch": B, "seq": S, "hidden": H, "layers": L,
+                   "inner_dim": F, "npred": NPRED},
+        "train_tflops_analytic": round(tf, 3),
+        "peak_tflops_bf16": PEAK_TFLOPS,
+        "ms_per_step": {k: round(v, 2) for k, v in best_ms.items()},
+        "mfu": {k: round(tf / (v / 1000) / PEAK_TFLOPS, 4)
+                for k, v in best_ms.items()},
+    }
+    print(json.dumps(report))
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(
+            json.dumps(report, indent=2) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
