@@ -153,20 +153,40 @@ class MarkovOracleScorer:
     """
 
     def __init__(self, catalog: MarkovCatalog, context_offset: int = 0):
-        self._logp = jnp.asarray(catalog.log_next_prob_matrix())  # [V, V]
+        self._cat = catalog
         self._offset = int(context_offset)
+        s = catalog.n_specials
+        self._s = s
+        self._vocab = catalog.vocab_size
+        # SPARSE law (scales to any catalog width): P(next|cur) =
+        # (1-alpha)*pop[next] everywhere + alpha*w_k on cur's `branching`
+        # successors. A dense [V, V] matrix at ML-20M scale is 2.9 GB —
+        # captured as a jit CONSTANT by the evaluator's closure, it
+        # wedges compilation through the device tunnel. These arrays are
+        # O(V * branching).
+        pop = catalog.pop
+        self._log_pop = jnp.asarray(
+            np.log(np.maximum(pop, 1e-30)).astype(np.float32))
+        self._log_nonsucc = jnp.asarray(
+            np.log(np.maximum((1.0 - catalog.alpha) * pop, 1e-30))
+            .astype(np.float32))
+        mix = catalog.alpha * catalog.w \
+            + (1.0 - catalog.alpha) * pop[catalog.succ]
+        self._succ = jnp.asarray(catalog.succ.astype(np.int32))
+        self._log_succ = jnp.asarray(
+            np.log(np.maximum(mix, 1e-30)).astype(np.float32))
+        self._dense = None  # lazy, gt_ranks_full_vocab only
 
-    def _context_rows(self, batch: dict) -> jnp.ndarray:
+    def _prev_tokens(self, batch: dict) -> jnp.ndarray:
         pos = batch["masked_lm_positions"].astype(jnp.int32)
         prev_idx = jnp.maximum(pos - 1 + self._offset, 0)
         prev = jnp.take_along_axis(batch["input_word_ids"], prev_idx,
                                    axis=1)                # [B, P]
         # a masked position at index 0 reads its own [MASK] token; the
-        # special-token rows of the matrix are the popularity fallback,
+        # special-token rows of the law are the popularity fallback,
         # which is exactly the no-context Bayes predictor
-        prev = jnp.where(pos + self._offset <= 0,
+        return jnp.where(pos + self._offset <= 0,
                          jnp.ones_like(prev), prev)
-        return jnp.take(self._logp, prev, axis=0)         # [B, P, V]
 
     # ------------------------------------------------------------------ #
     # the model interface the evaluator consumes
@@ -175,19 +195,37 @@ class MarkovOracleScorer:
     def score_candidates(self, params, batch: dict,
                          candidates: jnp.ndarray,
                          mesh=None) -> jnp.ndarray:
-        rows = self._context_rows(batch)
-        safe = jnp.clip(candidates, 0, rows.shape[-1] - 1)
-        scores = jnp.take_along_axis(rows, safe, axis=-1)
-        return jnp.where(candidates == safe, scores, NEG_INF)
+        prev = self._prev_tokens(batch)                   # [B, P]
+        cand = candidates.astype(jnp.int32)               # [B, P, C]
+        s = self._s
+        in_range = (cand >= 0) & (cand < self._vocab)
+        is_item = cand >= s
+        ci = jnp.clip(cand - s, 0, self._log_pop.shape[0] - 1)
+        prev_is_item = prev >= s
+        prev_item = jnp.clip(prev - s, 0, self._succ.shape[0] - 1)
+        base = jnp.where(prev_is_item[..., None],
+                         self._log_nonsucc[ci], self._log_pop[ci])
+        succ_tok = self._succ[prev_item] + s              # [B, P, K]
+        succ_val = self._log_succ[prev_item]              # [B, P, K]
+        match = cand[..., :, None] == succ_tok[..., None, :]  # [B,P,C,K]
+        matched = jnp.max(jnp.where(match, succ_val[..., None, :],
+                                    NEG_INF), axis=-1)
+        has = jnp.any(match, axis=-1)
+        sc = jnp.where(prev_is_item[..., None] & has, matched, base)
+        return jnp.where(in_range & is_item, sc, NEG_INF)
 
     def gt_ranks_full_vocab(self, params, inputs: dict, *,
                             exclude: Optional[jnp.ndarray] = None
                             ) -> jnp.ndarray:
         """Full-catalog 1-based GT ranks under the oracle ordering, same
         rank law as ``BERT4RecModel.gt_ranks_full_vocab`` (ties ahead of
-        the ground truth; ``exclude`` ids and specials never compete)."""
+        the ground truth; ``exclude`` ids and specials never compete).
+        Materializes dense [B, P, V] rows — small-catalog use only."""
+        if self._dense is None:
+            self._dense = jnp.asarray(self._cat.log_next_prob_matrix())
         gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)
-        logits = self._context_rows(inputs)               # [B, P, V]
+        prev = self._prev_tokens(inputs)
+        logits = jnp.take(self._dense, prev, axis=0)      # [B, P, V]
         gt = jnp.take_along_axis(logits, gt_ids[..., None], axis=-1)
         if exclude is not None:
             from bert4rec_tpu.ops import sharded_topk

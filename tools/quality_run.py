@@ -373,10 +373,15 @@ _ORACLE_PRESETS = {
                      inner_dim=128)),
     "ml1m": dict(n_items=3706, branching=8, alpha=0.6, zipf_s=1.1,
                  seq=200, max_pred=40, mask_rate=0.2, train_rows=8192,
-                 test_rows=1024, min_len=40, epochs=40, batch_size=256,
+                 test_rows=1024, min_len=40, epochs=80, batch_size=256,
                  lr=1e-3, sample_size=100,
-                 # measured r3/r4 on chip: HR ratio 0.969, NDCG 0.927
-                 gates=dict(hr10=0.93, ndcg10=0.88),
+                 # measured r4 gap-vs-epochs curve on chip (oracle_ml1m
+                 # gap_curve): HR ratio 0.746/0.925/0.969/0.976 and NDCG
+                 # 0.681/0.858/0.927/0.945 at 10/20/40/80 epochs — the
+                 # NDCG gap is TRAINING-BUDGET-limited (HR saturates by
+                 # 40 while NDCG still climbs); default budget 80 and
+                 # gates just under the 80-epoch point
+                 gates=dict(hr10=0.94, ndcg10=0.91),
                  model=dict(
                      hidden_size=128, num_layers=2, num_attention_heads=4,
                      inner_dim=512)),
