@@ -393,7 +393,10 @@ _ORACLE_PRESETS = {
                   seq=200, max_pred=40, mask_rate=0.2, train_rows=16384,
                   test_rows=1024, min_len=40, epochs=60, batch_size=256,
                   lr=1e-3, sample_size=100,
-                  gates=dict(hr10=0.85, ndcg10=0.80),
+                  # measured r4 on chip (quality_runs/oracle_ml20m):
+                  # HR ratio 0.961, NDCG 0.921 through the vocab-tiled
+                  # fused loss; gates just under
+                  gates=dict(hr10=0.92, ndcg10=0.88),
                   model=dict(
                       hidden_size=128, num_layers=2, num_attention_heads=4,
                       inner_dim=512)),
