@@ -67,9 +67,12 @@ BUDGET_MS = {
     "reddit_tiled": 47.0,
     # the reference's DEFAULT encoder scale (hidden 768, 12 layers, S=512 —
     # reference bert4rec_encoder.py:62-79), B=32, flash-attention path
-    # (head-grouped cells, ops/flash_attention.py _heads_per_cell) + remat.
-    # r3 measured 156.7 ms, r4 157.6.
-    "bert_base_512": 180.0,
+    # (head-grouped cells, ops/flash_attention.py _heads_per_cell),
+    # NO remat: activations fit at B=32 and the remat re-forward costs
+    # 25% (r4 tools/bert_base_roofline.py: remat 157.6 ms / 30.0% MFU,
+    # no-remat 117.9 ms / 40.1% MFU; K=4 dispatch no better at this
+    # scale). r3 guarded the remat config at 180.
+    "bert_base_512": 135.0,
     # temporal family (recency embeddings + TiSASRec-style relative-time
     # bias): r3 rebuilt the bias in-kernel from bucket ids (36.2 ms,
     # VPU-bound select chains); r4 streams the precomputed dense bias
@@ -155,14 +158,15 @@ def main(argv=None):
                  use_temporal_embeddings=True, use_temporal_attention=True),
             steps_per_call=4),
         # reference-default encoder scale: hidden 768, 12 layers, S=512,
-        # flash attention + remat, XLA loss (vocab 3709 is logits-cheap;
-        # the encoder is what this variant measures)
+        # flash attention, NO remat (25% faster at B=32 — see BUDGET_MS
+        # note), XLA loss (vocab 3709 is logits-cheap; the encoder is
+        # what this variant measures)
         "bert_base_512": bench.build(
             dict(hidden_size=768, num_layers=12, num_attention_heads=12,
                  inner_dim=3072, max_sequence_length=512,
                  max_predictions_per_seq=76, use_fused_layer=False,
                  use_fused_loss=False, use_flash_attention=True,
-                 remat=True),
+                 remat=False),
             steps_per_call=1),
     }
     # per-variant batch dims where they differ from the bench defaults
