@@ -58,6 +58,10 @@ def train_flops():
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--json-out", default=None)
+    parser.add_argument("--extended", action="store_true",
+                        help="ablation variants around the no-remat anchor "
+                             "(xla attention, fused loss, no dropout, "
+                             "6-head cells) instead of the remat/K matrix")
     args = parser.parse_args(argv)
 
     import jax
@@ -65,21 +69,14 @@ def main(argv=None):
 
     import numpy as np
 
-    def build(remat, k):
-        return bench.build(
-            dict(hidden_size=H, num_layers=L, num_attention_heads=12,
-                 inner_dim=F, max_sequence_length=S,
-                 max_predictions_per_seq=NPRED, use_fused_layer=False,
-                 use_fused_loss=False, use_flash_attention=True,
-                 remat=remat),
-            steps_per_call=k)
-
-    variants = {
-        "remat_k1": build(True, 1),
-        "remat_k4": build(True, 4),
-        "noremat_k1": build(False, 1),
-        "noremat_k4": build(False, 4),
-    }
+    def build(remat, k, **over):
+        cfg = dict(hidden_size=H, num_layers=L, num_attention_heads=12,
+                   inner_dim=F, max_sequence_length=S,
+                   max_predictions_per_seq=NPRED, use_fused_layer=False,
+                   use_fused_loss=False, use_flash_attention=True,
+                   remat=remat)
+        cfg.update(over)
+        return bench.build(cfg, steps_per_call=k)
 
     old = (bench.SEQ, bench.NPRED, bench.BATCH)
     bench.SEQ, bench.NPRED, bench.BATCH = S, NPRED, B
@@ -99,21 +96,81 @@ def main(argv=None):
             tr.state, logs = tr._train_step_fn(tr.state, batches[i % 4])
         return logs
 
-    for name, tr in variants.items():
-        logs = run_steps(tr, max(WARMUP, tr.steps_per_call))
-        float(jax.device_get(logs["loss"]))
-        print(f"[roofline] {name} compiled", flush=True)
+    failed = {}
+    best_ms = {}
 
-    best_ms = {name: float("inf") for name in variants}
-    for _ in range(ROUNDS):
-        for name, tr in variants.items():
-            k = tr.steps_per_call
-            n = (STEPS_PER_ROUND // k) * k
-            t0 = time.perf_counter()
-            logs = run_steps(tr, n)
+    def warmup(name, tr):
+        try:
+            logs = run_steps(tr, max(WARMUP, tr.steps_per_call))
             float(jax.device_get(logs["loss"]))
-            ms = (time.perf_counter() - t0) * 1000 / n
-            best_ms[name] = min(best_ms[name], ms)
+            print(f"[roofline] {name} compiled", flush=True)
+            return True
+        except Exception as e:  # noqa: BLE001 — an experimental variant
+            # (hpc6 Mosaic VMEM, xla-attention HBM) must not kill the run
+            failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"[roofline] {name} FAILED: {failed[name]}", flush=True)
+            return False
+
+    def measure_round(name, tr):
+        k = tr.steps_per_call
+        n = (STEPS_PER_ROUND // k) * k
+        t0 = time.perf_counter()
+        logs = run_steps(tr, n)
+        float(jax.device_get(logs["loss"]))
+        ms = (time.perf_counter() - t0) * 1000 / n
+        best_ms[name] = min(best_ms.get(name, float("inf")), ms)
+
+    if args.extended:
+        # diagnostic ablations, each interleaved PAIRWISE against the
+        # resident no-remat anchor: one extra trainer lives at a time
+        # (anchor + variant + no-remat activations is the HBM ceiling at
+        # B=32 — seven resident trainers OOM'd a v5e)
+        anchor = build(False, 1)
+        if not warmup("noremat_k1", anchor):
+            raise SystemExit("anchor failed to compile")
+
+        def ablations():
+            yield "noremat_xla_attn", dict(use_flash_attention=False)
+            yield "noremat_fused_loss", dict(use_fused_loss=True)
+            yield "noremat_nodrop", dict(attention_dropout=0.0,
+                                         output_dropout=0.0)
+            # larger head groups per grid cell (hpc 4 -> 6): fewer cells,
+            # more VMEM; the estimate (12*S^2*4 + 8*hpc*S*D*2) = 15.7 MB
+            # at hpc=6 — inside the 16 MB ceiling but outside the
+            # calibrated safety margin: an experiment, not a default
+            from bert4rec_tpu.ops import flash_attention as fa
+            fa._VMEM_BUDGET = int(15.8 * 1024 * 1024)
+            try:
+                yield "noremat_hpc6", {}
+            finally:
+                fa._VMEM_BUDGET = 14 * 1024 * 1024
+
+        for name, over in ablations():
+            try:
+                tr = build(False, 1, **over)
+            except Exception as e:  # noqa: BLE001
+                failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                print(f"[roofline] {name} FAILED to build: "
+                      f"{failed[name]}", flush=True)
+                continue
+            if warmup(name, tr):
+                for _ in range(ROUNDS):
+                    measure_round(name, tr)
+                    measure_round("noremat_k1", anchor)
+            del tr
+    else:
+        variants = {
+            "remat_k1": build(True, 1),
+            "remat_k4": build(True, 4),
+            "noremat_k1": build(False, 1),
+            "noremat_k4": build(False, 4),
+        }
+        for name, tr in list(variants.items()):
+            if not warmup(name, tr):
+                del variants[name]
+        for _ in range(ROUNDS):
+            for name, tr in variants.items():
+                measure_round(name, tr)
 
     tf = train_flops() / 1e12
     report = {
@@ -125,6 +182,8 @@ def main(argv=None):
         "mfu": {k: round(tf / (v / 1000) / PEAK_TFLOPS, 4)
                 for k, v in best_ms.items()},
     }
+    if failed:
+        report["failed_variants"] = failed
     print(json.dumps(report))
     if args.json_out:
         pathlib.Path(args.json_out).write_text(
