@@ -11,6 +11,7 @@ The pipeline is host-side numpy end to end — no TF (tf.data replaced by
 :class:`SequenceDataset`/:class:`ProcessedDataset`).
 """
 
+import os
 from typing import Optional, Union
 
 import numpy as np
@@ -81,6 +82,11 @@ class BERT4RecDataloader(BaseDataloader):
         forces a fresh parse."""
         key = (self.data_source,
                getattr(self.data_source, "load_n_records", None),
+               # the env smoke cap is resolved per load_data() call
+               # (base_dataset.py), so it must be part of the cache
+               # identity too — otherwise a capped frame could be served
+               # after the cap is lifted
+               os.environ.get("BERT4REC_TPU_LOAD_N_RECORDS"),
                str(getattr(self.data_source, "dest", None)))
         cached = getattr(self, "_raw_df_cache", None)
         if cached is not None and cached[0] == key:

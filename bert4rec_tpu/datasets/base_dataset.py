@@ -31,16 +31,26 @@ class BaseDataset(abc.ABC):
         # global smoke knob: ``BERT4REC_TPU_LOAD_N_RECORDS=<n>`` caps every
         # dataset that was not capped explicitly — this is how the example
         # scripts (full-corpus API surface) run offline in the test suite
-        # on a synthetic corpus in minutes instead of hours
-        if cls.load_n_records is None:
+        # on a synthetic corpus in minutes instead of hours. Resolved per
+        # CALL and restored afterwards (subclass extract_data streams with
+        # nrows=cls.load_n_records, so the cap is applied for the call's
+        # duration only): unsetting the env var must restore full-corpus
+        # loads in the same process, not leave a stale cap in class state
+        n_records = cls.load_n_records
+        if n_records is None:
             env = os.environ.get("BERT4REC_TPU_LOAD_N_RECORDS")
             if env:
-                cls.load_n_records = int(env)
-        if not cls.is_available():
-            cls.download()
-        df = cls.extract_data()
-        if cls.load_n_records is not None:
-            df = df.head(cls.load_n_records)
+                n_records = int(env)
+        saved = cls.load_n_records
+        cls.load_n_records = n_records
+        try:
+            if not cls.is_available():
+                cls.download()
+            df = cls.extract_data()
+            if n_records is not None:
+                df = df.head(n_records)
+        finally:
+            cls.load_n_records = saved
         return df
 
     @classmethod

@@ -87,3 +87,27 @@ def run_training_example(dataset: str,
 
     wrapper.save(save_path=save_path, tokenizer=tokenizer, mode=2)
     return wrapper, metrics
+
+
+def fallback_titles(extras, *groups):
+    """Replace the demo title groups with slices of the model's own
+    catalog when any default title is unknown to its tokenizer (models
+    trained on another corpus — e.g. the synthetic offline one — have a
+    different catalog). Shared by the recommender/ranker app examples so
+    the fallback logic cannot drift between them."""
+    known = set(extras["tokenizer"].get_vocab()) \
+        if "tokenizer" in extras else set()
+    if not known or all(t in known for g in groups for t in g):
+        return groups if len(groups) > 1 else groups[0]
+    titles = sorted(known - {"[PAD]", "[MASK]", "[UNK]"})
+    need = sum(len(g) for g in groups)
+    if len(titles) < need:
+        raise SystemExit(
+            f"this model's catalog has only {len(titles)} usable titles; "
+            f"the demo needs {need} — train on a larger corpus first")
+    print("(default titles not in this model's vocab; using its own)")
+    out, i = [], 0
+    for g in groups:
+        out.append(titles[i:i + len(g)])
+        i += len(g)
+    return out if len(out) > 1 else out[0]

@@ -7,6 +7,7 @@ import sys
 from bert4rec_tpu.apps import Ranker
 from bert4rec_tpu.dataloaders import get_dataloader_factory
 from bert4rec_tpu.models import BERT4RecModelWrapper
+from examples._common import fallback_titles
 
 
 def main(save_path: str = "bert4rec_ml-1m_128"):
@@ -21,14 +22,7 @@ def main(save_path: str = "bert4rec_ml-1m_128"):
         "Lion King, The (1994)",
     ]
     candidates = ["Toy Story 2 (1999)", "GoldenEye (1995)", "Casino (1995)"]
-    # models trained on another corpus (e.g. the synthetic offline one)
-    # have a different catalog; fall back to items it actually knows
-    known = set(extras["tokenizer"].get_vocab()) if "tokenizer" in extras \
-        else set()
-    if known and not all(t in known for t in history + candidates):
-        titles = sorted(known - {"[PAD]", "[MASK]", "[UNK]"})
-        history, candidates = titles[:3], titles[3:6]
-        print("(default titles not in this model's vocab; using its own)")
+    history, candidates = fallback_titles(extras, history, candidates)
     rank, text = ranker(history, rank_item=candidates[0])
     print(text)
 

@@ -7,6 +7,7 @@ import sys
 from bert4rec_tpu.apps import Recommender
 from bert4rec_tpu.dataloaders import get_dataloader_factory
 from bert4rec_tpu.models import BERT4RecModelWrapper
+from examples._common import fallback_titles
 
 
 def main(save_path: str = "bert4rec_ml-1m_128"):
@@ -20,13 +21,7 @@ def main(save_path: str = "bert4rec_ml-1m_128"):
         "Aladdin (1992)",
         "Lion King, The (1994)",
     ]
-    # models trained on another corpus (e.g. the synthetic offline one)
-    # have a different catalog; fall back to items it actually knows
-    known = set(extras["tokenizer"].get_vocab()) if "tokenizer" in extras \
-        else set()
-    if known and not all(t in known for t in history):
-        history = sorted(known - {"[PAD]", "[MASK]", "[UNK]"})[:3]
-        print("(default titles not in this model's vocab; using its own)")
+    history = fallback_titles(extras, history)
     print("history:", history)
     print("recommendation:", recommender(history))
 

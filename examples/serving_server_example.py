@@ -43,6 +43,8 @@ def main(save_path: str = "bert4rec_ml-1m_128", port: int = 8080,
           f"(GET /healthz for stats); Ctrl-C to stop")
     try:
         if mode == "demo":
+            # NOT inside a swallowing except: any failure here (API drift,
+            # bad response) must fail the suite's lifecycle chain loudly
             import json
             import urllib.request
             vocab = extras["tokenizer"].get_vocab()
@@ -60,10 +62,11 @@ def main(save_path: str = "bert4rec_ml-1m_128", port: int = 8080,
                     timeout=30) as resp:
                 print("healthz:", json.loads(resp.read()))
         else:
-            import signal
-            signal.pause()
-    except (KeyboardInterrupt, AttributeError):
-        pass
+            try:
+                import signal
+                signal.pause()  # AttributeError on platforms without it
+            except (KeyboardInterrupt, AttributeError):
+                pass
     finally:
         server.stop()
 

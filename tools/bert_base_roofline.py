@@ -62,6 +62,10 @@ def main(argv=None):
                         help="ablation variants around the no-remat anchor "
                              "(xla attention, fused loss, no dropout, "
                              "6-head cells) instead of the remat/K matrix")
+    parser.add_argument("--batch-sweep", action="store_true",
+                        help="per-chip batch scaling at this scale: "
+                             "no-remat B=32/64, remat B=64/128/256 — the "
+                             "throughput-optimal operating point")
     args = parser.parse_args(argv)
 
     import jax
@@ -78,30 +82,38 @@ def main(argv=None):
         cfg.update(over)
         return bench.build(cfg, steps_per_call=k)
 
-    old = (bench.SEQ, bench.NPRED, bench.BATCH)
-    bench.SEQ, bench.NPRED, bench.BATCH = S, NPRED, B
-    batches = [bench.make_batch(s) for s in range(4)]
-    bench.SEQ, bench.NPRED, bench.BATCH = old
-    stacks = [{key: np.stack([batches[(i + j) % 4][key] for j in range(4)])
-               for key in batches[0]} for i in range(2)]
+    _batch_cache = {}
 
-    def run_steps(tr, n):
+    def batches_for(bsz):
+        if bsz not in _batch_cache:
+            old = (bench.SEQ, bench.NPRED, bench.BATCH)
+            bench.SEQ, bench.NPRED, bench.BATCH = S, NPRED, bsz
+            bs = [bench.make_batch(s) for s in range(4)]
+            bench.SEQ, bench.NPRED, bench.BATCH = old
+            st = [{key: np.stack([bs[(i + j) % 4][key] for j in range(4)])
+                   for key in bs[0]} for i in range(2)]
+            _batch_cache[bsz] = (bs, st)
+        return _batch_cache[bsz]
+
+    def run_steps(tr, n, bsz=B):
+        bs, st = batches_for(bsz)
         k = tr.steps_per_call
         if k > 1:
             for i in range(n // k):
-                tr.state, logs = tr._train_multi_fn(tr.state,
-                                                    stacks[i % 2])
+                tr.state, logs = tr._train_multi_fn(tr.state, st[i % 2])
             return {"loss": logs["loss"][-1]}
         for i in range(n):
-            tr.state, logs = tr._train_step_fn(tr.state, batches[i % 4])
+            tr.state, logs = tr._train_step_fn(tr.state, bs[i % 4])
         return logs
 
     failed = {}
     best_ms = {}
+    batch_of = {}
 
-    def warmup(name, tr):
+    def warmup(name, tr, bsz=B):
+        batch_of[name] = bsz
         try:
-            logs = run_steps(tr, max(WARMUP, tr.steps_per_call))
+            logs = run_steps(tr, max(WARMUP, tr.steps_per_call), bsz)
             float(jax.device_get(logs["loss"]))
             print(f"[roofline] {name} compiled", flush=True)
             return True
@@ -111,11 +123,11 @@ def main(argv=None):
             print(f"[roofline] {name} FAILED: {failed[name]}", flush=True)
             return False
 
-    def measure_round(name, tr):
+    def measure_round(name, tr, bsz=B):
         k = tr.steps_per_call
         n = (STEPS_PER_ROUND // k) * k
         t0 = time.perf_counter()
-        logs = run_steps(tr, n)
+        logs = run_steps(tr, n, bsz)
         float(jax.device_get(logs["loss"]))
         ms = (time.perf_counter() - t0) * 1000 / n
         best_ms[name] = min(best_ms.get(name, float("inf")), ms)
@@ -139,11 +151,12 @@ def main(argv=None):
             # at hpc=6 — inside the 16 MB ceiling but outside the
             # calibrated safety margin: an experiment, not a default
             from bert4rec_tpu.ops import flash_attention as fa
+            saved_budget = fa._VMEM_BUDGET
             fa._VMEM_BUDGET = int(15.8 * 1024 * 1024)
             try:
                 yield "noremat_hpc6", {}
             finally:
-                fa._VMEM_BUDGET = 14 * 1024 * 1024
+                fa._VMEM_BUDGET = saved_budget
 
         for name, over in ablations():
             try:
@@ -157,6 +170,25 @@ def main(argv=None):
                 for _ in range(ROUNDS):
                     measure_round(name, tr)
                     measure_round("noremat_k1", anchor)
+            del tr
+    elif args.batch_sweep:
+        # throughput-optimal operating point: larger per-chip batches
+        # amortize the per-cell kernel overheads and the fixed VPU
+        # passes; remat trades a 33% recompute tax for O(1)-layer
+        # activations where the no-remat working set no longer fits HBM.
+        # Each point measured pairwise vs the resident B=32 anchor.
+        anchor = build(False, 1)
+        if not warmup("noremat_b32", anchor, 32):
+            raise SystemExit("anchor failed to compile")
+        for name, remat, bsz in [("noremat_b64", False, 64),
+                                 ("remat_b64", True, 64),
+                                 ("remat_b128", True, 128),
+                                 ("remat_b256", True, 256)]:
+            tr = build(remat, 1)
+            if warmup(name, tr, bsz):
+                for _ in range(ROUNDS):
+                    measure_round(name, tr, bsz)
+                    measure_round("noremat_b32", anchor, 32)
             del tr
     else:
         variants = {
@@ -172,14 +204,16 @@ def main(argv=None):
             for name, tr in variants.items():
                 measure_round(name, tr)
 
-    tf = train_flops() / 1e12
+    tf = train_flops() / 1e12  # at the reference B=32; scaled per variant
     report = {
         "config": {"batch": B, "seq": S, "hidden": H, "layers": L,
                    "inner_dim": F, "npred": NPRED},
         "train_tflops_analytic": round(tf, 3),
         "peak_tflops_bf16": PEAK_TFLOPS,
         "ms_per_step": {k: round(v, 2) for k, v in best_ms.items()},
-        "mfu": {k: round(tf / (v / 1000) / PEAK_TFLOPS, 4)
+        "examples_per_sec": {k: round(batch_of[k] / v * 1000, 1)
+                             for k, v in best_ms.items()},
+        "mfu": {k: round(tf * batch_of[k] / B / (v / 1000) / PEAK_TFLOPS, 4)
                 for k, v in best_ms.items()},
     }
     if failed:

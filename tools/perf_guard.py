@@ -19,6 +19,13 @@ numerics checks (tools/verify_kernels_on_tpu.py) first:
     python tools/perf_guard.py              # perf only
     python tools/perf_guard.py --numerics   # kernel numerics + perf
 
+Process structure: the top-level command is a jax-free ORCHESTRATOR; each
+measurement pass runs in its own ``--worker`` subprocess so exactly one
+process claims the TPU at a time (serial-access discipline — a retry
+launched while the parent still held the chip would contend/wedge). On a
+budget miss the orchestrator cools down 90 s and runs ONE more worker,
+taking the per-variant min of the two independent process draws.
+
 Budgets (v5e, B=256, S=200; round-1 measured values in parens):
 """
 
@@ -109,16 +116,26 @@ def build_trainer(use_fused_layer, use_fused_loss, steps_per_call=1):
 make_batch = bench.make_batch
 
 
-def main(argv=None):
+def _parse(argv):
     parser = argparse.ArgumentParser()
     parser.add_argument("--numerics", action="store_true",
                         help="run kernel numerics checks first")
     parser.add_argument("--json-out", default=None)
     parser.add_argument("--no-retry", action="store_true",
                         help="fail immediately on a budget miss instead "
-                             "of re-measuring once in a fresh process "
-                             "(set internally by the retry pass)")
-    args = parser.parse_args(argv)
+                             "of re-measuring once in a fresh process")
+    parser.add_argument("--worker", action="store_true",
+                        help="internal: run one measurement pass in THIS "
+                             "process (which claims the TPU) and emit the "
+                             "report; budget verdict + retry live in the "
+                             "jax-free orchestrator")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = _parse(argv)
+    if not args.worker:
+        return orchestrate(args)
 
     import jax
     assert jax.devices()[0].platform == "tpu", (
@@ -148,11 +165,12 @@ def main(argv=None):
             dict(vocab_size=335423, use_fused_layer=True,
                  use_fused_loss=True),
             steps_per_call=4),
-        # temporal family: recency embeddings + relative-time bias rebuilt
-        # inside the fused layer kernel. No timestamps in the guard batch
-        # (bucket matrix all-zeros) — the kernel's select/reduce chains
-        # run identically regardless of bucket VALUES, which is what the
-        # budget protects
+        # temporal family: recency embeddings + relative-time bias built
+        # dense once per step (one-hot-matmul lookup) and STREAMED through
+        # the fused layer kernel. No timestamps in the guard batch (bucket
+        # matrix all-zeros) — the one-hot contraction, the per-cell bias
+        # DMA and the transposed-one-hot table gradient all cost the same
+        # regardless of bucket VALUES, which is what the budget protects
         "temporal_multi4": bench.build(
             dict(use_fused_layer=True, use_fused_loss=True,
                  use_temporal_embeddings=True, use_temporal_attention=True),
@@ -243,66 +261,18 @@ def main(argv=None):
         pathlib.Path(args.json_out).write_text(
             json.dumps(report, indent=2) + "\n")
 
-    def verdict(ms, sp):
-        fails = [f"{name}: {ms[name]:.2f} ms > budget {budget} ms"
-                 for name, budget in BUDGET_MS.items()
-                 if ms[name] > budget]
-        if sp < MIN_SPEEDUP_FUSED_VS_XLA:
-            fails.append(
-                f"fused speedup {sp:.2f}x < {MIN_SPEEDUP_FUSED_VS_XLA}x")
-        return fails
-
-    failures = verdict(best_ms, speedup)
-    if failures and not args.no_retry:
-        # the tunnel's drift bursts are PER-PROCESS: re-measure once in a
-        # fresh process after a cool-down and take the per-variant min of
-        # the two independent draws. A genuine regression fails both; a
-        # burst won't strike twice (see BUDGET_MS note).
-        print("[perf_guard] budget miss — re-measuring in a fresh process "
-              f"after cool-down: {'; '.join(failures)}", flush=True)
-        import subprocess
-        import tempfile
-        time.sleep(90)
-        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--no-retry",
-                 "--json-out", tf.name],
-                capture_output=True, text=True, timeout=3600)
-            try:
-                second = json.loads(pathlib.Path(tf.name).read_text())
-            except (OSError, json.JSONDecodeError):
-                second = None
-        if second is None:
-            print("[perf_guard] retry process produced no report:\n"
-                  + proc.stderr[-2000:], file=sys.stderr)
-        else:
-            report["first_attempt_ms_per_step"] = dict(
-                report["ms_per_step"])
-            report["retry_ms_per_step"] = second["ms_per_step"]
-            best_ms = {k: min(best_ms[k], second["ms_per_step"][k])
-                       for k in best_ms}
-            speedup = max(speedup, second["fused_speedup_vs_xla"])
-            report["ms_per_step"] = {k: round(v, 3)
-                                     for k, v in best_ms.items()}
-            report["fused_speedup_vs_xla"] = round(speedup, 3)
-            print(json.dumps(report))
-            if args.json_out:
-                pathlib.Path(args.json_out).write_text(
-                    json.dumps(report, indent=2) + "\n")
-            failures = verdict(best_ms, speedup)
     if args.numerics:
         # AFTER the timing (the numerics suite's eager finite-difference
-        # loops inflate subsequent same-process measurements ~25%) but
-        # BEFORE the perf verdict, so a perf regression never hides a
-        # numerics breakage
+        # loops inflate subsequent same-process measurements ~25%)
         import verify_kernels_on_tpu as vk
         checks = ["main", "verify_fused_layer", "verify_tiled_loss",
                   "verify_tiled_loss_reddit", "verify_tiled_loss_bf16",
                   "verify_flash_bert_base_shape", "verify_fused_temporal"]
         # a numerics crash must still leave self-documenting evidence: the
-        # failing check is recorded in the artifact and the perf verdict
-        # (including any already-detected budget regressions) is printed
-        # before the exception propagates (ADVICE r3)
+        # measurements are already written above, and the failing check is
+        # recorded in the artifact before the exception propagates
+        # (ADVICE r3); the orchestrator then applies the perf verdict to
+        # the partial report so a perf regression is still printed
         try:
             for name in checks:
                 getattr(vk, name)()
@@ -312,9 +282,6 @@ def main(argv=None):
             if args.json_out:
                 pathlib.Path(args.json_out).write_text(
                     json.dumps(report, indent=2) + "\n")
-            if failures:
-                print("[perf_guard] REGRESSION:", "; ".join(failures),
-                      file=sys.stderr)
             print(f"[perf_guard] kernel numerics FAILED in {name}",
                   file=sys.stderr)
             raise
@@ -326,10 +293,118 @@ def main(argv=None):
             pathlib.Path(args.json_out).write_text(
                 json.dumps(report, indent=2) + "\n")
         print("[perf_guard] kernel numerics OK")
+    return 0
+
+
+def _verdict(ms, sp):
+    fails = [f"{name}: {ms[name]:.2f} ms > budget {budget} ms"
+             for name, budget in BUDGET_MS.items()
+             if ms[name] > budget]
+    if sp < MIN_SPEEDUP_FUSED_VS_XLA:
+        fails.append(
+            f"fused speedup {sp:.2f}x < {MIN_SPEEDUP_FUSED_VS_XLA}x")
+    return fails
+
+
+def _run_worker(numerics, json_path):
+    """One measurement pass in a fresh subprocess (the only TPU claimant
+    — the orchestrator never imports jax, so serial-access discipline
+    holds; CLAUDE.md TPU rules). Returns (report|None, returncode)."""
+    import subprocess
+    argv = [sys.executable, __file__, "--worker", "--json-out", json_path]
+    if numerics:
+        argv.append("--numerics")
+    proc = subprocess.run(argv, text=True, timeout=3600)
+    try:
+        report = json.loads(pathlib.Path(json_path).read_text())
+    except (OSError, json.JSONDecodeError):
+        report = None
+    return report, proc.returncode
+
+
+def orchestrate(args):
+    """jax-free driver: spawn a measurement worker, apply the budget
+    verdict, and on a miss re-measure once in a second fresh process
+    after a cool-down, taking the per-variant min of the two independent
+    draws — the tunnel's drift bursts are PER-PROCESS and won't strike
+    twice, while a genuine regression fails both (see BUDGET_MS note)."""
+    import tempfile
+    out = pathlib.Path(args.json_out) if args.json_out else None
+    with tempfile.TemporaryDirectory() as td:
+        first_path = str(pathlib.Path(td) / "first.json")
+        report, rc = _run_worker(args.numerics, first_path)
+        if report is None:
+            print("[perf_guard] measurement worker produced no report "
+                  f"(rc={rc})", file=sys.stderr)
+            return rc or 1
+        if out:
+            out.write_text(json.dumps(report, indent=2) + "\n")
+        numerics_failed = (args.numerics and
+                           report.get("numerics", {}).get("status") != "ok")
+
+        failures = _verdict(report["ms_per_step"],
+                            report["fused_speedup_vs_xla"])
+        if failures and not args.no_retry and not numerics_failed:
+            print("[perf_guard] budget miss — re-measuring in a fresh "
+                  f"process after cool-down: {'; '.join(failures)}",
+                  flush=True)
+            time.sleep(90)
+            retry_path = str(pathlib.Path(td) / "retry.json")
+            second, _ = _run_worker(False, retry_path)
+            if second is None:
+                print("[perf_guard] retry worker produced no report",
+                      file=sys.stderr)
+            else:
+                report["first_attempt_ms_per_step"] = dict(
+                    report["ms_per_step"])
+                report["retry_ms_per_step"] = second["ms_per_step"]
+                report["ms_per_step"] = {
+                    k: min(v, second["ms_per_step"][k])
+                    for k, v in report["ms_per_step"].items()}
+                report["fused_speedup_vs_xla"] = max(
+                    report["fused_speedup_vs_xla"],
+                    second["fused_speedup_vs_xla"])
+                failures = _verdict(report["ms_per_step"],
+                                    report["fused_speedup_vs_xla"])
+        if failures:
+            # classify before failing: the tunnel's SUSTAINED degraded
+            # states (CLAUDE.md "chip-state drift") inflate the small
+            # (<25 ms) Mosaic paths while the XLA path and the large
+            # kernels (reddit_tiled, bert_base_512) stay at their healthy
+            # values. If that exact signature holds across both draws,
+            # record it — a human reading a red run needs to know whether
+            # to suspect the code or the chip.
+            ms = report["ms_per_step"]
+            stable = (ms["xla"] <= 21.0 and
+                      ms["reddit_tiled"] <= BUDGET_MS["reddit_tiled"] and
+                      ms["bert_base_512"] <= BUDGET_MS["bert_base_512"])
+            only_small_inflated = all(
+                f.split(":")[0] in ("fused_full", "fused_layer",
+                                    "fused_multi4", "sasrec_multi4",
+                                    "ml20m_tiled", "temporal_multi4")
+                or f.startswith("fused speedup") for f in failures)
+            if stable and only_small_inflated:
+                report["drift_burst_suspected"] = (
+                    "XLA path and large kernels at healthy values while "
+                    "only small Mosaic paths inflated across two "
+                    "independent processes — the documented chip-state "
+                    "drift signature, not a code regression; re-run "
+                    "after the tunnel recovers")
+        print(json.dumps(report))
+        if out:
+            out.write_text(json.dumps(report, indent=2) + "\n")
 
     if failures:
         print("[perf_guard] REGRESSION:", "; ".join(failures),
               file=sys.stderr)
+        if report.get("drift_burst_suspected"):
+            print("[perf_guard] NOTE: drift-burst signature — "
+                  + report["drift_burst_suspected"], file=sys.stderr)
+    if numerics_failed:
+        check = report["numerics"].get("check")
+        print(f"[perf_guard] kernel numerics FAILED in {check}",
+              file=sys.stderr)
+    if failures or numerics_failed:
         return 1
     print("[perf_guard] OK")
     return 0
