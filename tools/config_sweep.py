@@ -182,7 +182,36 @@ def main(argv=None):
         del runner
         gc.collect()
 
+    # drift-retry pass: normalization (raw x sent_best / sent_at_window)
+    # assumes the slowdown is proportional, which a >1.3x sentinel window
+    # visibly violates (a 3.5x burst "normalized" steam_64 to an
+    # implausible 3.2 ms). Re-measure every window whose sentinel was
+    # inflated, once, and keep whichever (ms, sentinel) pair came from
+    # the cleaner window.
     sent_best = min(sentinel_windows)
+    retry = [n for n, (_, s) in raw.items() if s > 1.3 * sent_best]
+    if retry:
+        print(f"[config_sweep] drift-retry for {len(retry)} inflated "
+              f"windows: {', '.join(retry)}", flush=True)
+        for path in config_files:
+            name = path.stem
+            if name not in retry:
+                continue
+            overrides, dims = build_overrides(
+                name, json.loads(path.read_text()))
+            runner = Runner(overrides, dims)
+            runner.warm()
+            sent_ms = sentinel.time_rounds(2)
+            ms = runner.time_rounds(args.rounds)
+            sentinel_windows.append(sent_ms)
+            if sent_ms < raw[name][1]:
+                raw[name] = (ms, sent_ms)
+            print(f"[config_sweep] retry {name}: {ms:.2f} ms/step raw "
+                  f"(sentinel {sent_ms:.2f} ms)", flush=True)
+            del runner
+            gc.collect()
+        sent_best = min(sentinel_windows)
+
     rows = {}
     for name, (ms, sent_ms) in raw.items():
         norm = ms * sent_best / sent_ms
@@ -194,12 +223,16 @@ def main(argv=None):
             "sentinel_ms_at_window": round(sent_ms, 3),
         }
 
-    drift = max(sentinel_windows) / sent_best
+    # drift verdict over the windows actually USED for normalization
+    # (retried windows replaced their inflated first draw)
+    used_worst = max(s for _, s in raw.values())
+    drift = used_worst / sent_best
     report = {
         "configs": rows,
         "sentinel": {"config": SENTINEL,
                      "best_ms": round(sent_best, 3),
-                     "worst_ms": round(max(sentinel_windows), 3),
+                     "worst_used_ms": round(used_worst, 3),
+                     "worst_observed_ms": round(max(sentinel_windows), 3),
                      "max_drift": round(drift, 3)},
         "note": "fused layer+loss path, steps_per_call=4, sequential "
                 "per-config min-of-rounds, one process, v5e. ms_per_step "
