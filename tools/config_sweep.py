@@ -61,6 +61,12 @@ WARMUP = 8
 STEPS_PER_ROUND = 24
 ROUNDS = 5
 SENTINEL = "ml-1m_128"  # re-measured at the end as the drift sentinel
+# healthy ml-1m_128 sentinel band on this chip: 8.8-10.4 ms (PERF_r08-r10,
+# CONFIG_SWEEP_r03). If even the BEST sentinel window exceeds this, the
+# whole run sat inside a sustained degraded chip state and normalization
+# would fabricate numbers (a 14.7 ms "best" once normalized reddit_128 to
+# 25.4 ms — below its true healthy 39.8): refuse the artifact.
+HEALTHY_SENTINEL_MS = 11.5
 
 
 def dataset_of(config_name: str) -> str:
@@ -241,10 +247,21 @@ def main(argv=None):
                 "timed before every window; the tunnel shows sustained "
                 "drift across a run)",
     }
+    if sent_best > HEALTHY_SENTINEL_MS:
+        report["degraded_chip_state"] = (
+            f"best sentinel window {sent_best:.2f} ms is outside the "
+            f"healthy band (<= {HEALTHY_SENTINEL_MS} ms): the whole run "
+            "sat in a sustained degraded chip state and the normalized "
+            "numbers are not comparable across rounds — discard and "
+            "re-run after the tunnel recovers")
     print(json.dumps(report))
     if args.json_out:
         pathlib.Path(args.json_out).write_text(
             json.dumps(report, indent=2) + "\n")
+    if "degraded_chip_state" in report:
+        print("[config_sweep] DEGRADED:", report["degraded_chip_state"],
+              file=sys.stderr)
+        return 1
     if drift > 2.0:
         print("[config_sweep] WARNING: sentinel drifted beyond 2x across "
               "the sweep; treat cross-config comparisons with care",
