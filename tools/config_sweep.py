@@ -10,18 +10,24 @@ step for all 13 configs with their dataset's golden catalog size
 and the reference dataloader's seq/prediction defaults (reference
 bert4rec_ml1m_dataloader.py:9 etc.).
 
-Measurement design (learned the hard way): configs are measured
-SEQUENTIALLY in one process, each trainer freed before the next — an
-early interleaved-13-resident-variants design inflated the small
-configs 2x (ml-1m_128 measured 22.6 ms interleaved vs 10.2 ms alone in
-the same process; perf_guard's 9-variant interleave shows no such
-effect at its sizes). The tunnel's SUSTAINED drift is the remaining
-hazard (one sequential run measured ml-20m_64 at 45 ms mid-drift vs
-20.5 ms in a neighboring process), so a resident SENTINEL trainer
-(ml-1m_128) is timed immediately before every config window and each
-row carries both the raw number and a drift-normalized one
-(raw x sentinel_best / sentinel_at_window). Within every window,
-min-of-rounds absorbs short bursts.
+Measurement design (learned the hard way, three times):
+- an early interleaved-13-resident-variants design inflated the small
+  configs 2x (ml-1m_128 measured 22.6 ms interleaved vs 10.2 ms alone in
+  the same process);
+- the r3 sequential one-process design then measured PROGRESSIVE
+  in-process degradation (the resident sentinel slowed 10.2 -> 35.6 ms
+  over a 13-config run, twice, while a fresh probe measured 9.8 ms
+  between the runs) — some per-process state on this tunnel degrades
+  with accumulated work, not wall-clock;
+- r4 therefore runs ONE FRESH WORKER SUBPROCESS PER CONFIG (jax-free
+  orchestrator, serial TPU claimants, cooldowns between), and each
+  worker interleaves a SENTINEL trainer (ml-1m_128) with its config so
+  every (config, sentinel) pair lives in one process. Rows carry the raw
+  number and a drift-normalized one (raw x sentinel_best /
+  sentinel_at_window); min-of-rounds absorbs short bursts; windows whose
+  sentinel was inflated >1.3x are re-measured once; a run whose BEST
+  sentinel is outside the healthy band refuses to emit a comparable
+  artifact.
 
     python tools/config_sweep.py --json-out CONFIG_SWEEP_r03.json
 
@@ -32,7 +38,6 @@ Runs on TPU; refuses elsewhere.
 """
 
 import argparse
-import gc
 import json
 import pathlib
 import sys
@@ -60,7 +65,7 @@ BATCH = 256  # the reference's typical training batch (examples/*.py)
 WARMUP = 8
 STEPS_PER_ROUND = 24
 ROUNDS = 5
-SENTINEL = "ml-1m_128"  # re-measured at the end as the drift sentinel
+SENTINEL = "ml-1m_128"  # interleaved inside every worker as the drift sentinel
 # healthy ml-1m_128 sentinel band on this chip: 8.8-10.4 ms (PERF_r08-r10,
 # CONFIG_SWEEP_r03). If even the BEST sentinel window exceeds this, the
 # whole run sat inside a sustained degraded chip state and normalization
@@ -134,12 +139,10 @@ class Runner:
         return best
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--json-out", default=None)
-    parser.add_argument("--rounds", type=int, default=ROUNDS)
-    args = parser.parse_args(argv)
-
+def measure_one(name: str, rounds: int) -> dict:
+    """Worker body: ONE config + the sentinel in a fresh process,
+    INTERLEAVED round-robin (the within-process pairing that makes the
+    sentinel normalization honest). Returns the result row pieces."""
     import jax
     assert jax.devices()[0].platform == "tpu", (
         "config_sweep measures real hardware; run it on the TPU "
@@ -147,31 +150,25 @@ def main(argv=None):
     from bert4rec_tpu.ops.fused_encoder_layer import fused_layer_supported
     from bert4rec_tpu.ops.fused_mlm_loss import fused_loss_supported
 
-    config_files = sorted(CONFIG_DIR.glob("*.json"))
-    assert len(config_files) == 13, config_files
-
-    # the resident drift sentinel, warmed once and timed before every
-    # config window
     sent_over, sent_dims = build_overrides(
         SENTINEL, json.loads((CONFIG_DIR / f"{SENTINEL}.json").read_text()))
     sentinel = Runner(sent_over, sent_dims)
     sentinel.warm()
-    sentinel_windows = []
-
-    raw = {}
-    meta = {}
-    for path in config_files:
-        name = path.stem
-        overrides, dims = build_overrides(name, json.loads(path.read_text()))
-        runner = Runner(overrides, dims)
-        compile_s = runner.warm()
-        sent_ms = sentinel.time_rounds(2)
-        ms = runner.time_rounds(args.rounds)
-        sentinel_windows.append(sent_ms)
-        raw[name] = (ms, sent_ms)
-        mcfg = runner.trainer.model.config
-        vocab, seq, npred = dims
-        meta[name] = {
+    overrides, dims = build_overrides(
+        name, json.loads((CONFIG_DIR / f"{name}.json").read_text()))
+    runner = Runner(overrides, dims)
+    compile_s = runner.warm()
+    ms = float("inf")
+    sent_ms = float("inf")
+    for _ in range(rounds):
+        sent_ms = min(sent_ms, sentinel.time_rounds(1))
+        ms = min(ms, runner.time_rounds(1))
+    mcfg = runner.trainer.model.config
+    vocab, seq, npred = dims
+    return {
+        "name": name, "ms": ms, "sentinel_ms": sent_ms,
+        "compile_s": compile_s,
+        "meta": {
             "vocab": vocab, "seq": seq, "npred": npred, "batch": BATCH,
             "layer_kernel": ("fused_layer" if fused_layer_supported(
                 batch=BATCH, seq_len=seq, hidden=mcfg.hidden_size,
@@ -181,41 +178,96 @@ def main(argv=None):
             "loss_kernel": ("whole_table" if fused_loss_supported(
                 mcfg.padded_vocab_size, mcfg.table_width)
                 else "vocab_tiled"),
-        }
-        print(f"[config_sweep] {name}: {ms:.2f} ms/step raw "
-              f"(sentinel {sent_ms:.2f} ms, compile {compile_s:.1f}s)",
+        },
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json-out", default=None)
+    parser.add_argument("--rounds", type=int, default=ROUNDS)
+    parser.add_argument("--measure", default=None,
+                        help="internal: worker mode — measure ONE config "
+                             "(+ the interleaved sentinel) in this "
+                             "process and print the result JSON")
+    parser.add_argument("--cooldown", type=int, default=30,
+                        help="seconds between worker subprocesses")
+    args = parser.parse_args(argv)
+
+    if args.measure:
+        print("RESULT " + json.dumps(measure_one(args.measure,
+                                                 args.rounds)),
               flush=True)
-        del runner
-        gc.collect()
+        return 0
+
+    # ORCHESTRATOR (jax-free): one worker subprocess per config. The
+    # one-process-for-all-13 design measured PROGRESSIVE in-process
+    # degradation on this tunnel (resident-sentinel 10.2 -> 35.6 ms over
+    # a run, twice, while a fresh probe measured 9.8 between the runs) —
+    # per-config fresh processes bound each window's exposure, and the
+    # within-worker interleave keeps every (config, sentinel) pair in
+    # ONE process so normalization never crosses a process boundary.
+    import subprocess
+    config_files = sorted(CONFIG_DIR.glob("*.json"))
+    assert len(config_files) == 13, config_files
+
+    def run_worker(name):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--measure", name,
+             "--rounds", str(args.rounds)],
+            capture_output=True, text=True, timeout=900)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        print(f"[config_sweep] worker {name} produced no result "
+              f"(rc={proc.returncode}):\n" + proc.stderr[-1500:],
+              file=sys.stderr, flush=True)
+        return None
+
+    raw = {}
+    meta = {}
+    sentinel_windows = []
+    for i, path in enumerate(config_files):
+        name = path.stem
+        if i:
+            time.sleep(args.cooldown)
+        res = run_worker(name)
+        if res is None:
+            continue
+        raw[name] = (res["ms"], res["sentinel_ms"])
+        meta[name] = res["meta"]
+        sentinel_windows.append(res["sentinel_ms"])
+        print(f"[config_sweep] {name}: {res['ms']:.2f} ms/step raw "
+              f"(sentinel {res['sentinel_ms']:.2f} ms, compile "
+              f"{res['compile_s']:.1f}s)", flush=True)
+
+    if not raw:
+        print("[config_sweep] no config produced a measurement",
+              file=sys.stderr)
+        return 1
 
     # drift-retry pass: normalization (raw x sent_best / sent_at_window)
     # assumes the slowdown is proportional, which a >1.3x sentinel window
     # visibly violates (a 3.5x burst "normalized" steam_64 to an
     # implausible 3.2 ms). Re-measure every window whose sentinel was
-    # inflated, once, and keep whichever (ms, sentinel) pair came from
-    # the cleaner window.
+    # inflated, once, in a fresh process, and keep whichever
+    # (ms, sentinel) pair came from the cleaner window.
     sent_best = min(sentinel_windows)
     retry = [n for n, (_, s) in raw.items() if s > 1.3 * sent_best]
     if retry:
         print(f"[config_sweep] drift-retry for {len(retry)} inflated "
               f"windows: {', '.join(retry)}", flush=True)
-        for path in config_files:
-            name = path.stem
-            if name not in retry:
+        for name in retry:
+            time.sleep(args.cooldown)
+            res = run_worker(name)
+            if res is None:
                 continue
-            overrides, dims = build_overrides(
-                name, json.loads(path.read_text()))
-            runner = Runner(overrides, dims)
-            runner.warm()
-            sent_ms = sentinel.time_rounds(2)
-            ms = runner.time_rounds(args.rounds)
-            sentinel_windows.append(sent_ms)
-            if sent_ms < raw[name][1]:
-                raw[name] = (ms, sent_ms)
-            print(f"[config_sweep] retry {name}: {ms:.2f} ms/step raw "
-                  f"(sentinel {sent_ms:.2f} ms)", flush=True)
-            del runner
-            gc.collect()
+            sentinel_windows.append(res["sentinel_ms"])
+            if res["sentinel_ms"] < raw[name][1]:
+                raw[name] = (res["ms"], res["sentinel_ms"])
+            print(f"[config_sweep] retry {name}: {res['ms']:.2f} ms/step "
+                  f"raw (sentinel {res['sentinel_ms']:.2f} ms)",
+                  flush=True)
         sent_best = min(sentinel_windows)
 
     rows = {}
@@ -240,12 +292,13 @@ def main(argv=None):
                      "worst_used_ms": round(used_worst, 3),
                      "worst_observed_ms": round(max(sentinel_windows), 3),
                      "max_drift": round(drift, 3)},
-        "note": "fused layer+loss path, steps_per_call=4, sequential "
-                "per-config min-of-rounds, one process, v5e. ms_per_step "
-                "is drift-normalized: raw x sentinel_best / "
-                "sentinel_at_window (the resident ml-1m_128 sentinel is "
-                "timed before every window; the tunnel shows sustained "
-                "drift across a run)",
+        "note": "fused layer+loss path, steps_per_call=4, one FRESH "
+                "worker process per config (the tunnel shows progressive "
+                "in-process degradation over multi-config runs), "
+                "sentinel interleaved with the config INSIDE each "
+                "worker, min-of-rounds, v5e. ms_per_step is "
+                "drift-normalized: raw x sentinel_best / "
+                "sentinel_at_window",
     }
     if sent_best > HEALTHY_SENTINEL_MS:
         report["degraded_chip_state"] = (
