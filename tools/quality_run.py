@@ -430,9 +430,14 @@ _TEMPORAL_ORACLE_GATES = {
     # cross at tiny scale/budget
     "tiny": dict(ndcg10=0.82, hr1=0.78, ablation_margin=0.03,
                  beat_blind=False),
-    # measured (TPU, r4): see quality_runs/oracle_ml1m_temporal —
-    # gates set just under the measured run
-    "ml1m": dict(ndcg10=0.88, hr1=0.84, ablation_margin=0.03,
+    # measured (TPU, r4, quality_runs/oracle_ml1m_temporal): ceilings
+    # 0.699/0.659 NDCG; model NDCG ratio 0.953, HR@1 ratio 0.939,
+    # model-ablation +0.064 — and the model CROSSES the time-blind
+    # Bayes ceiling (+0.007). The crossing margin is thinner than seed
+    # variance, so it is recorded in the artifact (oracle_gap.
+    # model_minus_blind_ceiling_ndcg10) but not gated; ratio gates sit
+    # just under measured
+    "ml1m": dict(ndcg10=0.93, hr1=0.91, ablation_margin=0.04,
                  beat_blind=False),
     "ml20m": dict(ndcg10=0.85, hr1=0.80, ablation_margin=0.03,
                   beat_blind=False),
