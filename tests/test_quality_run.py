@@ -90,3 +90,16 @@ class TestOracleMode:
         ml1m = qr._ORACLE_PRESETS["ml1m"]
         assert ml1m["n_items"] == 3706 and ml1m["seq"] == 200
         assert ml1m["model"]["hidden_size"] == 128
+
+    def test_temporal_oracle_family_flags_and_gates(self):
+        qr = load_harness()
+        args = qr.build_argparser().parse_args(
+            ["--oracle", "--oracle-family", "temporal",
+             "--oracle-scale", "ml1m"])
+        assert args.oracle_family == "temporal"
+        # every oracle scale has a temporal gate entry with the knobs
+        # run_oracle_temporal reads
+        assert set(qr._TEMPORAL_ORACLE_GATES) == set(qr._ORACLE_PRESETS)
+        for g in qr._TEMPORAL_ORACLE_GATES.values():
+            for key in ("ndcg10", "hr1", "ablation_margin", "beat_blind"):
+                assert key in g, key
