@@ -33,12 +33,13 @@ WORKER_TIMEOUT_S = 480
 RETRY_COOLDOWN_S = 90
 DEVICE_ATTEMPTS = 3
 # the tunneled chip shows sustained per-process drift (CLAUDE.md): the
-# same binary has measured 14.7k one process and 35.2k the next. Every
-# successful TPU measurement is therefore re-measured once after a
-# cool-down and the BEST of the two kept — a symmetric selection rule
-# (slow AND fast first runs get the same second draw), unlike the
+# same binary has measured 14.7k one process and 35.2k the next, and
+# r4 observed degraded windows lasting tens of minutes. Every
+# successful TPU measurement is therefore re-measured after cool-downs
+# and the BEST of the three kept — a symmetric selection rule
+# (slow AND fast first runs get the same re-draws), unlike the
 # earlier floor-triggered retry which only re-measured slow results.
-TPU_MEASUREMENTS = 2
+TPU_MEASUREMENTS = 3
 
 
 def build(model_cfg_overrides=None, steps_per_call=None):
