@@ -241,13 +241,12 @@ class TemporalOracleScorer:
         is_item = cand >= s
         ci = jnp.clip(cand - s, 0, self._pop.shape[0] - 1)
         p1 = self._matched_mass(prev1, cand, ci)          # [B, P, C]
+        p2 = self._matched_mass(prev2, cand, ci)
         if self._blind:
-            p2 = self._matched_mass(prev2, cand, ci)
             # regime-marginal; positions without a second-back context
             # are structurally "fast" (visible without timestamps)
             p = jnp.where(no_second[..., None], p1, 0.5 * (p1 + p2))
         else:
-            p2 = self._matched_mass(prev2, cand, ci)
             use2 = (regime == 1) & ~no_second
             p = jnp.where(use2[..., None], p2, p1)
         p = jnp.where(no_ctx[..., None], self._pop[ci], p)

@@ -182,6 +182,29 @@ def measure_one(name: str, rounds: int) -> dict:
     }
 
 
+def _run_worker(name: str, rounds: int, timeout_s: int = 900):
+    """One fresh measurement subprocess; dict or None. Catches wedges
+    (TimeoutExpired — the tunnel's documented failure mode) and crashed
+    workers instead of killing the whole sweep."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--measure", name,
+             "--rounds", str(rounds)],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"[config_sweep] worker {name} hit the {timeout_s}s "
+              "deadline (wedged TPU claim?)", file=sys.stderr, flush=True)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    print(f"[config_sweep] worker {name} produced no result "
+          f"(rc={proc.returncode}):\n" + proc.stderr[-1500:],
+          file=sys.stderr, flush=True)
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--json-out", default=None)
@@ -190,8 +213,9 @@ def main(argv=None):
                         help="internal: worker mode — measure ONE config "
                              "(+ the interleaved sentinel) in this "
                              "process and print the result JSON")
-    parser.add_argument("--cooldown", type=int, default=30,
-                        help="seconds between worker subprocesses")
+    parser.add_argument("--cooldown", type=int, default=75,
+                        help="seconds between worker subprocesses "
+                             "(CLAUDE.md serial-TPU rule: 60-90 s)")
     args = parser.parse_args(argv)
 
     if args.measure:
@@ -207,32 +231,27 @@ def main(argv=None):
     # per-config fresh processes bound each window's exposure, and the
     # within-worker interleave keeps every (config, sentinel) pair in
     # ONE process so normalization never crosses a process boundary.
-    import subprocess
     config_files = sorted(CONFIG_DIR.glob("*.json"))
     assert len(config_files) == 13, config_files
-
-    def run_worker(name):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--measure", name,
-             "--rounds", str(args.rounds)],
-            capture_output=True, text=True, timeout=900)
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
-        print(f"[config_sweep] worker {name} produced no result "
-              f"(rc={proc.returncode}):\n" + proc.stderr[-1500:],
-              file=sys.stderr, flush=True)
-        return None
 
     raw = {}
     meta = {}
     sentinel_windows = []
+    missing = []
     for i, path in enumerate(config_files):
         name = path.stem
         if i:
             time.sleep(args.cooldown)
-        res = run_worker(name)
+        res = _run_worker(name, args.rounds)
         if res is None:
+            # a wedged/crashed worker gets ONE fresh-process retry after
+            # a cool-down (CLAUDE.md: 'cool down, retry once'); a config
+            # that still fails is RECORDED as missing — the artifact must
+            # not read as 'all 13 measured' while silently covering 12
+            time.sleep(args.cooldown)
+            res = _run_worker(name, args.rounds)
+        if res is None:
+            missing.append(name)
             continue
         raw[name] = (res["ms"], res["sentinel_ms"])
         meta[name] = res["meta"]
@@ -259,9 +278,9 @@ def main(argv=None):
               f"windows: {', '.join(retry)}", flush=True)
         for name in retry:
             time.sleep(args.cooldown)
-            res = run_worker(name)
+            res = _run_worker(name, args.rounds)
             if res is None:
-                continue
+                continue  # the first (inflated) window stands
             sentinel_windows.append(res["sentinel_ms"])
             if res["sentinel_ms"] < raw[name][1]:
                 raw[name] = (res["ms"], res["sentinel_ms"])
@@ -300,6 +319,8 @@ def main(argv=None):
                 "drift-normalized: raw x sentinel_best / "
                 "sentinel_at_window",
     }
+    if missing:
+        report["missing_configs"] = sorted(missing)
     if sent_best > HEALTHY_SENTINEL_MS:
         report["degraded_chip_state"] = (
             f"best sentinel window {sent_best:.2f} ms is outside the "
@@ -311,6 +332,10 @@ def main(argv=None):
     if args.json_out:
         pathlib.Path(args.json_out).write_text(
             json.dumps(report, indent=2) + "\n")
+    if missing:
+        print("[config_sweep] INCOMPLETE: no measurement for "
+              + ", ".join(sorted(missing)), file=sys.stderr)
+        return 1
     if "degraded_chip_state" in report:
         print("[config_sweep] DEGRADED:", report["degraded_chip_state"],
               file=sys.stderr)

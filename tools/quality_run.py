@@ -470,6 +470,12 @@ def run_oracle_temporal(args):
     )
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
+    if args.gap_curve or args.full_ranking:
+        raise SystemExit(
+            "--gap-curve / --full-ranking are not implemented for "
+            "--oracle-family temporal (they would silently no-op); use "
+            "the bert4rec/sasrec oracle families for those, or drop the "
+            "flag")
     ps = dict(_ORACLE_PRESETS[args.oracle_scale])
     gates = _TEMPORAL_ORACLE_GATES[args.oracle_scale]
     if args.oracle_epochs:
