@@ -152,6 +152,11 @@ class MarkovOracleScorer:
     prove the benchmark detects context misalignment.
     """
 
+    # widest vocab whose dense [V, V] law may be materialized by
+    # gt_ranks_full_vocab (8k fp32 ~= 256 MiB); ml20m (26.7k ~= 2.9 GiB)
+    # and up must use the sparse score_candidates path
+    DENSE_VOCAB_LIMIT = 8192
+
     def __init__(self, catalog: MarkovCatalog, context_offset: int = 0):
         self._cat = catalog
         self._offset = int(context_offset)
@@ -220,7 +225,18 @@ class MarkovOracleScorer:
         """Full-catalog 1-based GT ranks under the oracle ordering, same
         rank law as ``BERT4RecModel.gt_ranks_full_vocab`` (ties ahead of
         the ground truth; ``exclude`` ids and specials never compete).
-        Materializes dense [B, P, V] rows — small-catalog use only."""
+        Materializes dense [B, P, V] rows — small-catalog use only; the
+        hard guard below keeps an accidental catalog-scale call from
+        pinning a multi-GB [V, V] matrix on device for the scorer's
+        lifetime (the hazard the sparse ``score_candidates`` path
+        exists to avoid — ADVICE r4)."""
+        if self._vocab > self.DENSE_VOCAB_LIMIT:
+            raise ValueError(
+                f"gt_ranks_full_vocab materializes a dense [V, V] matrix; "
+                f"vocab_size={self._vocab} > {self.DENSE_VOCAB_LIMIT} "
+                f"would pin ~{4 * self._vocab**2 / 2**30:.1f} GiB on "
+                f"device. Use score_candidates (sparse) at this scale, "
+                f"or raise DENSE_VOCAB_LIMIT explicitly.")
         if self._dense is None:
             self._dense = jnp.asarray(self._cat.log_next_prob_matrix())
         gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)

@@ -71,6 +71,19 @@ class TestCatalogLaw:
             np.exp(lm[3:, 3:].astype(np.float64)), cat.next_prob(),
             rtol=1e-4)
 
+    def test_dense_rank_path_refuses_catalog_scale(self):
+        """gt_ranks_full_vocab must refuse to pin a multi-GB dense [V, V]
+        matrix on device (ADVICE r4): above DENSE_VOCAB_LIMIT the sparse
+        score_candidates path is the only supported scorer."""
+        cat = MarkovCatalog(n_items=16, branching=4, seed=3)
+        scorer = MarkovOracleScorer(cat)
+        scorer._vocab = MarkovOracleScorer.DENSE_VOCAB_LIMIT + 1
+        with pytest.raises(ValueError, match="dense"):
+            scorer.gt_ranks_full_vocab(None, {
+                "masked_lm_ids": np.zeros((1, 1), np.int32),
+                "masked_lm_positions": np.zeros((1, 1), np.int32),
+                "input_word_ids": np.zeros((1, 4), np.int32)})
+
     def test_sample_sequences_reproducible_and_follow_law(self):
         cat = MarkovCatalog(n_items=64, branching=4, alpha=0.9,
                             dirichlet=0.3, seed=3)

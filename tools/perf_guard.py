@@ -314,7 +314,14 @@ def _run_worker(numerics, json_path):
     argv = [sys.executable, __file__, "--worker", "--json-out", json_path]
     if numerics:
         argv.append("--numerics")
-    proc = subprocess.run(argv, text=True, timeout=3600)
+    try:
+        proc = subprocess.run(argv, text=True, timeout=3600)
+    except subprocess.TimeoutExpired:
+        # the tunnel's documented wedge mode: a claimed process that
+        # produces nothing forever — fail cleanly, don't traceback
+        print("[perf_guard] measurement worker hit the 3600s deadline "
+              "(wedged TPU claim)", file=sys.stderr)
+        return None, 1
     try:
         report = json.loads(pathlib.Path(json_path).read_text())
     except (OSError, json.JSONDecodeError):
@@ -361,9 +368,13 @@ def orchestrate(args):
                 report["ms_per_step"] = {
                     k: min(v, second["ms_per_step"][k])
                     for k, v in report["ms_per_step"].items()}
-                report["fused_speedup_vs_xla"] = max(
-                    report["fused_speedup_vs_xla"],
-                    second["fused_speedup_vs_xla"])
+                # recompute the speedup from the merged ms values rather
+                # than taking max() of the per-process ratios — the
+                # published (ms, speedup) pair must be internally
+                # consistent, not a cross-process mix (ADVICE r4)
+                report["fused_speedup_vs_xla"] = round(
+                    report["ms_per_step"]["xla_multi4"]
+                    / report["ms_per_step"]["fused_multi4"], 3)
                 failures = _verdict(report["ms_per_step"],
                                     report["fused_speedup_vs_xla"])
         if failures:
