@@ -18,6 +18,7 @@ class BaseDataset(abc.ABC):
     # concrete classes set these
     source: Optional[str] = None   # download URL
     dest: Optional[str] = None     # destination directory/file under the data dir
+    download_size: Optional[int] = None  # full-corpus byte size (gate)
     load_n_records: Optional[int] = None
 
     @classmethod
@@ -25,6 +26,23 @@ class BaseDataset(abc.ABC):
         """Cap the number of records returned by ``load_data`` (chainable)."""
         cls.load_n_records = n
         return cls
+
+    @classmethod
+    def _size_gate(cls) -> bool:
+        """Availability = on-disk bytes within ±2% of the published
+        full-corpus size (reference dataset_utils.py:37-51) — except
+        under an active record cap, where the gate degrades to
+        existence-only: a capped load declares up front that it will not
+        consume the full corpus, so a partial-but-format-exact corpus
+        (e.g. a synthetic test fixture) is exactly as available as the
+        real thing. ``load_data`` resolves the ``BERT4REC_TPU_LOAD_N_RECORDS``
+        env knob into class state before calling ``is_available``, so the
+        env cap takes this path too."""
+        from bert4rec_tpu.datasets import dataset_utils
+        if cls.load_n_records:
+            return dataset_utils.get_byte_size(cls.dest) > 0
+        return dataset_utils.check_availability_via_download_size(
+            cls.dest, cls.download_size)
 
     @classmethod
     def load_data(cls) -> pd.DataFrame:

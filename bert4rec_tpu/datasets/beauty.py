@@ -39,8 +39,7 @@ class Beauty(BaseDataset):
 
     @classmethod
     def is_available(cls) -> bool:
-        return dataset_utils.check_availability_via_download_size(
-            cls.dest, cls.download_size)
+        return cls._size_gate()
 
     @classmethod
     def download(cls):

@@ -19,8 +19,7 @@ class ML1M(BaseDataset):
 
     @classmethod
     def is_available(cls) -> bool:
-        return dataset_utils.check_availability_via_download_size(
-            cls.dest, cls.download_size)
+        return cls._size_gate()
 
     @classmethod
     def download(cls):

@@ -20,8 +20,7 @@ class Steam(BaseDataset):
 
     @classmethod
     def is_available(cls) -> bool:
-        return dataset_utils.check_availability_via_download_size(
-            cls.dest, cls.download_size)
+        return cls._size_gate()
 
     @classmethod
     def download(cls):

@@ -54,18 +54,20 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 # is per-process and won't strike twice, while a genuine regression
 # fails both. That makes healthy-measurement x ~1.25 ceilings safe.
 BUDGET_MS = {
-    # healthy-process measurements (r3/r4 interleaved best): fused_full
-    # 9.7, fused_layer 10.3, fused_multi4 9.1; drift bursts have reached
-    # 14.9/12.6/11.6 in a single process (2026-08) — the retry pass
-    # absorbs those
-    "fused_full": 12.5,
-    "fused_layer": 13.0,
-    "fused_multi4": 11.5,
-    "ml20m_tiled": 24.0,
+    # Policy (BASELINE.md): worst-observed HEALTHY-process measurement
+    # x 1.15. r5 pulled the slack back to that line now that the
+    # fresh-process retry absorbs drift bursts (VERDICT r4 #8).
+    # Worst healthy across r3/r4/r11: fused_full 10.33, fused_layer
+    # 10.3, fused_multi4 9.1; drift bursts have reached 14.9/12.6/11.6
+    # in a single process (2026-08) — the retry pass absorbs those
+    "fused_full": 12.0,
+    "fused_layer": 12.0,
+    "fused_multi4": 10.5,
+    "ml20m_tiled": 23.0,
     # SASRec: same dims + causal_attention (in-VMEM triangle in the fused
     # kernels) — tracks the bidirectional fused_multi4 modulo drift
     # (healthy 8.5-10.8)
-    "sasrec_multi4": 13.0,
+    "sasrec_multi4": 12.5,
     # Reddit scale (335k vocab, reddit_128 dims): vocab-tiled flash-softmax
     # loss. r2 shipped 64.3 ms (fp32 streaming, R=512, argmax metric, two
     # backward sweeps); r3 measured 41.25 ms interleaved best (no argmax
@@ -84,8 +86,9 @@ BUDGET_MS = {
     # bias): r3 rebuilt the bias in-kernel from bucket ids (36.2 ms,
     # VPU-bound select chains); r4 streams the precomputed dense bias
     # through the kernel with one-hot-matmul lookup/scatter in XLA —
-    # measured 14.55 ms interleaved against fused_multi4 9.08.
-    "temporal_multi4": 18.0,
+    # measured 14.55 ms interleaved against fused_multi4 9.08 (r4);
+    # worst healthy 15.08 (PERF_r11)
+    "temporal_multi4": 17.5,
 }
 # the speedup floor compares xla_multi4 vs fused_multi4 — SAME dispatch
 # mode, so the ratio isolates the kernels. Healthy processes measure

@@ -153,32 +153,43 @@ def make_steam(home: pathlib.Path, seed: int = 0):
         lambda s: str(10000 + s))
 
 
-def make_ml20m(home: pathlib.Path, seed: int = 0):
+def make_ml20m(home: pathlib.Path, seed: int = 0, small: bool = False):
     """ratings.csv + movies.csv (headers, comma-separated) + one filler
     genome file so the whole-directory byte-size check passes — the real
-    download's bulk is genome files the extractor never opens."""
+    download's bulk is genome files the extractor never reads.
+
+    ``small`` writes a few-MB corpus (same formats, same learnable rule,
+    NO genome filler) for consumers that run under a record cap — the
+    availability gate degrades to existence-only when
+    ``load_n_records``/``BERT4REC_TPU_LOAD_N_RECORDS`` is active
+    (datasets/base_dataset.py ``_size_gate``), which is how
+    tests/test_examples.py executes the ML-20M example without paying
+    the ~900 MB full-size corpus tax."""
     import pandas as pd
 
     rng = np.random.default_rng(seed + 3)
     dest = home / "data" / "ml-20m"
     dest.mkdir(parents=True, exist_ok=True)
 
+    # the small corpus keeps a catalog slice (the record-capped reader
+    # only joins the first load_n_records movies anyway)
+    n_movies = 2048 if small else ML20M_N_MOVIES
     movies = pd.DataFrame({
-        "movieId": np.arange(1, ML20M_N_MOVIES + 1),
+        "movieId": np.arange(1, n_movies + 1),
         "title": [f"Synthetic Feature No. {i:05d} ({1920 + i % 100})"
-                  for i in range(1, ML20M_N_MOVIES + 1)],
+                  for i in range(1, n_movies + 1)],
         "genres": ["Drama|Comedy" if i % 2 else "Action"
-                   for i in range(1, ML20M_N_MOVIES + 1)],
+                   for i in range(1, n_movies + 1)],
     })
     movies.to_csv(dest / "movies.csv", index=False)
 
-    perm = rng.permutation(ML20M_N_MOVIES) + 1
-    n_users = 130_000
+    perm = rng.permutation(n_movies) + 1
+    n_users = 400 if small else 130_000
     lengths = np.clip(rng.lognormal(4.8, 0.7, n_users), 20, 800).astype(int)
     uid = np.repeat(np.arange(1, n_users + 1), lengths)
-    starts = rng.integers(0, ML20M_N_MOVIES, n_users)
+    starts = rng.integers(0, n_movies, n_users)
     offsets = np.concatenate([np.arange(n) for n in lengths])
-    sid = perm[(np.repeat(starts, lengths) + offsets) % ML20M_N_MOVIES]
+    sid = perm[(np.repeat(starts, lengths) + offsets) % n_movies]
     t0 = np.repeat(rng.integers(9.6e8, 1.0e9, n_users), lengths)
     ratings = pd.DataFrame({
         "userId": uid, "movieId": sid,
@@ -187,21 +198,23 @@ def make_ml20m(home: pathlib.Path, seed: int = 0):
     })
     ratings.to_csv(dest / "ratings.csv", index=False)
 
-    used = sum(p.stat().st_size for p in dest.iterdir())
-    filler = ML20M_TARGET_BYTES - used
-    assert filler > 0, used
-    with open(dest / "genome-scores.csv", "wb") as f:
-        f.write(b"movieId,tagId,relevance\n")
-        chunk = b"1,1,0.5000\n" * 65536
-        remaining = filler - 24
-        while remaining > 0:
-            f.write(chunk[:remaining])
-            remaining -= len(chunk)
+    if not small:
+        used = sum(p.stat().st_size for p in dest.iterdir())
+        filler = ML20M_TARGET_BYTES - used
+        assert filler > 0, used
+        with open(dest / "genome-scores.csv", "wb") as f:
+            f.write(b"movieId,tagId,relevance\n")
+            chunk = b"1,1,0.5000\n" * 65536
+            remaining = filler - 24
+            while remaining > 0:
+                f.write(chunk[:remaining])
+                remaining -= len(chunk)
+        total = sum(p.stat().st_size for p in dest.iterdir())
+        assert abs(total - ML20M_TARGET_BYTES) <= 0.02 * ML20M_TARGET_BYTES
     total = sum(p.stat().st_size for p in dest.iterdir())
-    assert abs(total - ML20M_TARGET_BYTES) <= 0.02 * ML20M_TARGET_BYTES
     print(f"ml-20m synthetic corpus: {dest} ({n_users} users, "
-          f"{len(ratings)} ratings, {total} bytes vs expected "
-          f"{ML20M_TARGET_BYTES})")
+          f"{len(ratings)} ratings, {total} bytes"
+          + ("" if small else f" vs expected {ML20M_TARGET_BYTES}") + ")")
     return dest
 
 
@@ -211,11 +224,16 @@ REDDIT_N_ITEMS = 4096           # synthetic choice (density; the real
 REDDIT_N_AUTHORS = 20_000
 
 
-def make_reddit(home: pathlib.Path, seed: int = 0):
+def make_reddit(home: pathlib.Path, seed: int = 0, small: bool = False):
     """zstd-compressed pushshift-style JSON-lines comment dump
     (availability gate is file existence; reference reddit.py:49-80).
     Authors comment on threads following the global permutation rule;
-    every author/item clears the >=3-occurrence filters."""
+    every author/item clears the >=3-occurrence filters.
+
+    ``small`` writes a few-thousand-row dump with a dense catalog sized
+    so that even an 8k-record cap leaves every item above the
+    >=3-occurrence filter (tests/test_examples.py runs the Reddit
+    example with ``BERT4REC_TPU_LOAD_N_RECORDS=8000``)."""
     import json as _json
     import zstandard as zstd
 
@@ -223,12 +241,14 @@ def make_reddit(home: pathlib.Path, seed: int = 0):
     dest = home / "data" / "reddit" / "comments" / "RC_2011-01.zst"
     dest.parent.mkdir(parents=True, exist_ok=True)
 
-    perm = rng.permutation(REDDIT_N_ITEMS)
+    n_items = 256 if small else REDDIT_N_ITEMS
+    n_authors = 800 if small else REDDIT_N_AUTHORS
+    perm = rng.permutation(n_items)
     rows = []
-    for a in range(REDDIT_N_AUTHORS):
+    for a in range(n_authors):
         n = int(rng.integers(40, 81))
-        start = int(rng.integers(0, REDDIT_N_ITEMS))
-        items = perm[(start + np.arange(n)) % REDDIT_N_ITEMS]
+        start = int(rng.integers(0, n_items))
+        items = perm[(start + np.arange(n)) % n_items]
         t0 = int(rng.integers(1.29e9, 1.30e9))
         rows.extend(
             {"author": f"user_{a:06d}", "parent_id": f"t3_{int(s):06x}",
@@ -238,7 +258,7 @@ def make_reddit(home: pathlib.Path, seed: int = 0):
     blob = "\n".join(_json.dumps(r) for r in rows).encode() + b"\n"
     with open(dest, "wb") as f:
         f.write(zstd.ZstdCompressor(level=3).compress(blob))
-    print(f"reddit synthetic corpus: {dest} ({REDDIT_N_AUTHORS} authors, "
+    print(f"reddit synthetic corpus: {dest} ({n_authors} authors, "
           f"{len(rows)} comments, {dest.stat().st_size} bytes compressed)")
     return dest
 
@@ -255,8 +275,18 @@ def main(argv=None):
                    help="BERT4REC_TPU_HOME to populate (data goes to "
                         "<home>/data/<dataset>)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--small", action="store_true",
+                   help="few-MB corpus (ml_20m/reddit only) for consumers "
+                        "running under a record cap, where the "
+                        "availability gate is existence-only")
     args = p.parse_args(argv)
-    _MAKERS[args.dataset](pathlib.Path(args.home), args.seed)
+    kwargs = {}
+    if args.small:
+        if args.dataset not in ("ml_20m", "reddit"):
+            p.error("--small is supported for ml_20m and reddit (the "
+                    "other corpora are already small at full size)")
+        kwargs["small"] = True
+    _MAKERS[args.dataset](pathlib.Path(args.home), args.seed, **kwargs)
     return 0
 
 
