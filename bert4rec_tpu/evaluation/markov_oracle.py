@@ -41,6 +41,49 @@ import numpy as np
 
 NEG_INF = float(np.finfo(np.float32).min)
 
+# catalogs wider than this use the vectorized support sampler: the
+# per-row ``rng.choice(..., replace=False, p=pop)`` path is O(n_items)
+# PER ROW (it renormalizes the full probability vector), i.e. O(V^2)
+# overall — minutes at ML-20M width and ~hours at the Reddit catalog's
+# 335k items
+FAST_SUPPORT_THRESHOLD = 50_000
+
+
+def sample_popularity_supports(rng, pop: np.ndarray, n_rows: int,
+                               branching: int) -> np.ndarray:
+    """``[n_rows, branching]`` popularity-weighted DISTINCT successor
+    supports, vectorized: inverse-CDF draws (searchsorted over the
+    popularity CDF) with whole-row rejection resampling of rows that
+    drew a duplicate.
+
+    Same construction goals as the per-row ``rng.choice(replace=False,
+    p=pop)`` path (successors of observed items are themselves observed
+    often enough to learn; popularity-weighted supports keep pop_random
+    negatives competitive) but a different RNG stream and a slightly
+    different without-replacement design (i.i.d.-conditioned-on-distinct
+    vs successive sampling) — immaterial to the benchmark, because the
+    scorers compute the exact law from the REALIZED supports either way.
+    Only used above FAST_SUPPORT_THRESHOLD, so existing small-catalog
+    artifacts keep their catalogs bit-for-bit."""
+    cdf = np.cumsum(pop)
+    cdf[-1] = 1.0  # guard the float edge
+    n_items = len(pop)
+    succ = np.minimum(
+        np.searchsorted(cdf, rng.random((n_rows, branching))), n_items - 1)
+    for _ in range(256):
+        srt = np.sort(succ, axis=1)
+        bad = (srt[:, 1:] == srt[:, :-1]).any(axis=1)
+        n_bad = int(bad.sum())
+        if not n_bad:
+            return succ.astype(np.int64)
+        succ[bad] = np.minimum(
+            np.searchsorted(cdf, rng.random((n_bad, branching))),
+            n_items - 1)
+    raise RuntimeError(
+        "support resampling failed to produce distinct rows — the "
+        "popularity law is too concentrated for distinct "
+        f"{branching}-item supports over {n_items} items")
+
 
 class MarkovCatalog:
     """The planted generative process + its exact conditional law.
@@ -78,10 +121,15 @@ class MarkovCatalog:
         # popularity-weighted supports keep the eval's pop_random
         # negatives competitive (uniform supports would make every
         # successor an easy win over popular negatives).
-        self.succ = np.stack([
-            rng.choice(self.n_items, size=self.branching, replace=False,
-                       p=self.pop)
-            for _ in range(self.n_items)]).astype(np.int64)
+        if self.n_items > FAST_SUPPORT_THRESHOLD:
+            # Reddit-catalog width: the per-row choice loop is O(V^2)
+            self.succ = sample_popularity_supports(
+                rng, self.pop, self.n_items, self.branching)
+        else:
+            self.succ = np.stack([
+                rng.choice(self.n_items, size=self.branching,
+                           replace=False, p=self.pop)
+                for _ in range(self.n_items)]).astype(np.int64)
         self.w = rng.dirichlet(np.full(self.branching, float(dirichlet)),
                                size=self.n_items)         # [n_items, B]
 

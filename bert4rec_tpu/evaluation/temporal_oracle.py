@@ -85,11 +85,20 @@ class TemporalMarkovCatalog:
         self.pop = pop / pop.sum()                        # [n_items]
 
         # ONE successor world (supports popularity-drawn for
-        # learnability, as in MarkovCatalog)
-        self.succ = np.stack([
-            rng.choice(self.n_items, size=self.branching, replace=False,
-                       p=self.pop)
-            for _ in range(self.n_items)]).astype(np.int64)
+        # learnability, as in MarkovCatalog; the vectorized sampler
+        # kicks in at Reddit-catalog width where the per-row loop is
+        # O(V^2))
+        from bert4rec_tpu.evaluation.markov_oracle import (
+            FAST_SUPPORT_THRESHOLD, sample_popularity_supports,
+        )
+        if self.n_items > FAST_SUPPORT_THRESHOLD:
+            self.succ = sample_popularity_supports(
+                rng, self.pop, self.n_items, self.branching)
+        else:
+            self.succ = np.stack([
+                rng.choice(self.n_items, size=self.branching,
+                           replace=False, p=self.pop)
+                for _ in range(self.n_items)]).astype(np.int64)
         self.w = rng.dirichlet(np.full(self.branching, float(dirichlet)),
                                size=self.n_items)         # [n_items, B]
 

@@ -319,8 +319,15 @@ class BERT4RecModel:
             return ids, jnp.exp(values - lse)
         return ids, values
 
+    # vocab width above which gt_ranks_full_vocab streams the table in
+    # tiles instead of materializing [B, P, V] fp32 logits (the dense
+    # tensor is ~1.1 GB at ML-20M width — fine transiently — but 13.7 GB
+    # at the Reddit catalog's 335k items, which cannot exist on one chip)
+    TILED_RANK_VOCAB_THRESHOLD = 65536
+
     def gt_ranks_full_vocab(self, params: dict, inputs: dict, *,
-                            exclude: Optional[jnp.ndarray] = None
+                            exclude: Optional[jnp.ndarray] = None,
+                            vocab_tile: Optional[int] = None
                             ) -> jnp.ndarray:
         """1-based rank of each masked position's ground truth against the
         ENTIRE catalog — the unsampled evaluation protocol.
@@ -335,13 +342,30 @@ class BERT4RecModel:
 
         One [B, P, V] comparison + reduction — no argsort, no top-k cutoff;
         on a vocab-sharded table GSPMD keeps the logits column-parallel and
-        reduces the count with one psum.
+        reduces the count with one psum. Above
+        ``TILED_RANK_VOCAB_THRESHOLD`` (or with an explicit
+        ``vocab_tile``) the same law runs as a ``lax.scan`` over vocab
+        tiles (ops/candidate_scoring.py ``gt_ranks_tiled``) so the full
+        logits tensor never exists.
 
         :param exclude: optional ``[B, E]`` int ids (< 0 = padding) removed
             from the competitor set per batch row (seen items / specials)
+        :param vocab_tile: force the tiled path with this tile width
         :returns: ``[B, P]`` int32 ranks (>= 1)
         """
         gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)
+        emb = params["encoder"]["item_embeddings"]
+        use_tiled = (vocab_tile is not None
+                     or (self.config.padded_vocab_size
+                         > self.TILED_RANK_VOCAB_THRESHOLD
+                         and "embedding_q" not in emb))
+        if use_tiled:
+            from bert4rec_tpu.ops import candidate_scoring
+            hidden, table = self._mlm_hidden_and_table(params, inputs)
+            return candidate_scoring.gt_ranks_tiled(
+                hidden, table, params["mlm"]["output_bias"], gt_ids,
+                vocab_size=self.config.vocab_size, exclude=exclude,
+                tile=vocab_tile or 8192)
         out = self.apply(params, inputs)
         logits = out["mlm_logits"]                           # [B, P, V] fp32
         gt = jnp.take_along_axis(logits, gt_ids[..., None], axis=-1)

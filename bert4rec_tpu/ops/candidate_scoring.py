@@ -46,6 +46,90 @@ def score_candidates(hidden: jnp.ndarray, table: jnp.ndarray,
     return logits + cand_bias
 
 
+def gt_ranks_tiled(hidden: jnp.ndarray, table: jnp.ndarray,
+                   output_bias: jnp.ndarray, gt_ids: jnp.ndarray, *,
+                   vocab_size: int,
+                   exclude: jnp.ndarray = None,
+                   tile: int = 8192) -> jnp.ndarray:
+    """Full-catalog 1-based GT ranks WITHOUT materializing ``[B, P, V]``.
+
+    The dense rank path (``BERT4RecModel.gt_ranks_full_vocab``) holds the
+    full fp32 logits tensor — 13.7 GB at the Reddit catalog's 335k items
+    with B=256/P=40, which cannot exist on one chip. This streams the
+    tied table through a ``lax.scan`` over vocab tiles: per tile one
+    ``[rows, tile]`` MXU matmul, compare against the ground-truth logit,
+    accumulate the beaten-count. Peak extra memory is one logits tile
+    (``B*P*tile`` fp32) + an optional ``[B, V]`` bool exclusion mask.
+
+    Identical rank law to the dense path (ties count AHEAD of the ground
+    truth; the GT column never self-counts; vocab-padding rows and
+    excluded ids never compete): rank = 1 + #{v: valid(v), v != gt,
+    logit_v >= logit_gt}.
+
+    :param hidden: ``[B, P, W]`` transformed masked-position states
+    :param table: ``[Vp, W]`` tied table (Vp = padded vocab)
+    :param output_bias: ``[Vp]``
+    :param gt_ids: ``[B, P]`` int ground-truth ids
+    :param vocab_size: true vocab width (ids >= this are padding rows)
+    :param exclude: optional ``[B, E]`` int ids (< 0 = padding) removed
+        from the competitor set per batch row
+    :param tile: vocab tile width (the scan length is ceil(Vp / tile))
+    :returns: ``[B, P]`` int32 ranks (>= 1)
+    """
+    vp, w = table.shape
+    b, p = gt_ids.shape
+    n_tiles = -(-vp // tile)
+    pad = n_tiles * tile - vp
+    dtype = hidden.dtype
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+        output_bias = jnp.pad(output_bias, (0, pad))
+    gt_ids = gt_ids.astype(jnp.int32)
+
+    # ground-truth logit from a gather + row-dot (fp32 accumulation, the
+    # same contraction axis/precision as the tile matmul)
+    gt_rows = jnp.take(table, gt_ids, axis=0)              # [B, P, W]
+    gt_logit = jnp.einsum("bpw,bpw->bp", hidden,
+                          gt_rows.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    gt_logit = gt_logit + jnp.take(output_bias, gt_ids, axis=0)
+
+    excl_mask = None
+    if exclude is not None:
+        # dense [B, Vp] bool, sliced per tile inside the scan (bool bytes:
+        # ~86 MB at 335k x B=256 — cheap next to one logits tile)
+        exclude = exclude.astype(jnp.int32)
+        idx = jnp.where(exclude >= 0, exclude, n_tiles * tile)
+        excl_mask = jnp.zeros((b, n_tiles * tile + 1), jnp.bool_)
+        excl_mask = excl_mask.at[
+            jnp.arange(b)[:, None], idx].set(True)[:, :-1]
+
+    table_tiles = table.reshape(n_tiles, tile, w)
+    bias_tiles = output_bias.reshape(n_tiles, tile)
+
+    def body(count, t):
+        tbl_t, bias_t, t_idx = t
+        logits_t = jnp.einsum("bpw,tw->bpt", hidden,
+                              tbl_t.astype(dtype),
+                              preferred_element_type=jnp.float32)
+        logits_t = logits_t + bias_t
+        ids_t = t_idx * tile + jnp.arange(tile, dtype=jnp.int32)
+        valid = (ids_t[None, None, :] < vocab_size) \
+            & (ids_t[None, None, :] != gt_ids[..., None])
+        if excl_mask is not None:
+            sl = jax.lax.dynamic_slice_in_dim(excl_mask, t_idx * tile,
+                                              tile, axis=1)
+            valid = valid & ~sl[:, None, :]
+        beaten = valid & (logits_t >= gt_logit[..., None])
+        return count + jnp.sum(beaten.astype(jnp.int32), axis=-1), None
+
+    count0 = jnp.zeros((b, p), jnp.int32)
+    count, _ = jax.lax.scan(
+        body, count0,
+        (table_tiles, bias_tiles, jnp.arange(n_tiles, dtype=jnp.int32)))
+    return count + 1
+
+
 def score_candidates_quantized(hidden: jnp.ndarray, emb_params: dict,
                                output_bias: jnp.ndarray,
                                candidates: jnp.ndarray) -> jnp.ndarray:

@@ -84,6 +84,30 @@ class TestCatalogLaw:
                 "masked_lm_positions": np.zeros((1, 1), np.int32),
                 "input_word_ids": np.zeros((1, 4), np.int32)})
 
+    def test_vectorized_supports_at_catalog_width(self):
+        """Above FAST_SUPPORT_THRESHOLD the catalog uses the vectorized
+        popularity-weighted support sampler (the per-row choice loop is
+        O(V^2) — hours at the Reddit catalog's 335k items). Rows must be
+        distinct, in range, and strongly popularity-weighted."""
+        from bert4rec_tpu.evaluation.markov_oracle import (
+            FAST_SUPPORT_THRESHOLD, sample_popularity_supports,
+        )
+        n = FAST_SUPPORT_THRESHOLD + 1
+        cat = MarkovCatalog(n_items=n, branching=8, seed=7)
+        assert cat.succ.shape == (n, 8)
+        assert cat.succ.min() >= 0 and cat.succ.max() < n
+        srt = np.sort(cat.succ, axis=1)
+        assert not (srt[:, 1:] == srt[:, :-1]).any()
+        # popularity-weighted: successors' mean popularity far above the
+        # uniform 1/n (zipf head items dominate the draws)
+        assert cat.pop[cat.succ].mean() > 50.0 / n
+        # the standalone sampler is deterministic given the rng state
+        rng = np.random.default_rng(3)
+        a = sample_popularity_supports(np.random.default_rng(3), cat.pop,
+                                       100, 8)
+        b = sample_popularity_supports(rng, cat.pop, 100, 8)
+        np.testing.assert_array_equal(a, b)
+
     def test_sample_sequences_reproducible_and_follow_law(self):
         cat = MarkovCatalog(n_items=64, branching=4, alpha=0.9,
                             dirichlet=0.3, seed=3)

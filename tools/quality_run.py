@@ -1,4 +1,4 @@
-"""Turnkey quality-parity harness (VERDICT r1 missing #2).
+"""Turnkey quality-parity harness (VERDICT r1 missing #2) — thin CLI.
 
 One command that, wherever the raw dataset exists on disk, trains the
 reference's headline configuration with the reference's exact
@@ -10,977 +10,37 @@ checkable the moment data is available:
     python tools/quality_run.py                      # ML-1M, ml-1m_128
     python tools/quality_run.py --dataset beauty --config beauty_64
     python tools/quality_run.py --smoke              # offline self-test
-
-Reference hyperparameters (reference trainers/optimizers.py + example):
-AdamW lr 1e-4, 400k-step polynomial decay, 100 warmup steps, weight decay
-0.01, global-norm clip 5.0, batch 256, input duplication 10, finetuning
-split 0.1, early stopping on val_loss.
+    python tools/quality_run.py --oracle --oracle-scale reddit   # on chip
 
 ``--smoke`` runs the identical harness end to end on synthetic data (no
-network) and asserts the metrics beat chance — proving the pipeline works
-before anyone burns hours on a real run.
+network) and asserts the metrics beat chance; ``--oracle`` runs the
+non-saturating planted-law benchmarks with computable Bayes ceilings.
+
+All run/gate plumbing lives in the package
+(``bert4rec_tpu.evaluation.quality_harness`` — VERDICT r4 #9); this file
+only resolves the repo path and dispatches.
 """
 
-import argparse
-import json
 import pathlib
 import sys
-import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-
-def build_argparser():
-    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--dataset", default="ml_1m",
-                   choices=["ml_1m", "ml_20m", "beauty", "steam", "reddit"])
-    p.add_argument("--config", default="ml-1m_128",
-                   help="encoder config name (config/bert4rec_train_configs)")
-    p.add_argument("--epochs", type=int, default=150)
-    p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--dup", type=int, default=None,
-                   help="input duplication factor; default = the "
-                        "dataset's own reference default (ML-1M 10, "
-                        "ML-20M 5, Beauty 5, Steam 3, Reddit 2)")
-    p.add_argument("--finetuning-split", type=float, default=0.1)
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--out", default=None,
-                   help="output dir (default: quality_runs/<dataset>)")
-    p.add_argument("--smoke", action="store_true",
-                   help="offline end-to-end self-test on synthetic data")
-    p.add_argument("--smoke-scale", default="tiny",
-                   choices=["tiny", "ml1m", "ml20m", "reddit"],
-                   help="--smoke size: 'tiny' (CPU, seconds), or the real "
-                        "catalog scales run on chip — 'ml1m' (3706 items),"
-                        " 'ml20m' (26.7k, vocab-tiled loss) or 'reddit' "
-                        "(335k items single-chip, table streamed in VMEM "
-                        "tiles)")
-    p.add_argument("--smoke-family", default="bert4rec",
-                   choices=["bert4rec", "sasrec", "temporal"],
-                   help="--smoke model family: masked-LM BERT4Rec, causal "
-                        "next-item SASRec (same harness, same protocol), "
-                        "or the TEMPORAL family — a copy-by-time-delta "
-                        "rule only a time-aware model can express, gated "
-                        "against a time-blind ablation (its own harness; "
-                        "--smoke-scale is ignored)")
-    p.add_argument("--resume", action="store_true",
-                   help="resume from an existing checkpoint in the output "
-                        "dir. Default OFF: a quality measurement starts "
-                        "from fresh weights — silently resuming a finished "
-                        "checkpoint would re-report old weights as a new "
-                        "run (epochs_ran would be 0)")
-    p.add_argument("--oracle", action="store_true",
-                   help="run the NON-SATURATING quality benchmark: planted "
-                        "Markov-mixture structure with a computable Bayes "
-                        "oracle (evaluation/markov_oracle.py). Reports the "
-                        "model/oracle gap plus deliberately-broken variants "
-                        "(off-by-one context, shuffled negatives, wrong "
-                        "training masking rate) that must measurably fail")
-    p.add_argument("--oracle-scale", default="tiny",
-                   choices=["tiny", "ml1m", "ml20m"],
-                   help="--oracle size: 'tiny' (CPU, ~2 min), 'ml1m' "
-                        "(3706-item catalog, seq 200, ml-1m_128 encoder "
-                        "shape — run on chip), or 'ml20m' (26.7k-item "
-                        "catalog: the VOCAB-TILED fused loss path inside "
-                        "a non-saturating gate — run on chip)")
-    p.add_argument("--oracle-epochs", type=int, default=None,
-                   help="override the preset's training epoch budget")
-    p.add_argument("--gap-curve", default=None,
-                   help="comma-separated epoch budgets (e.g. '10,20,40,80')"
-                        ": train a FRESH model per budget against the one "
-                        "fixed oracle/floor and record the model/oracle "
-                        "gap at each — the training-budget asymptote "
-                        "evidence for the NDCG gap. The largest budget's "
-                        "model is the gated one.")
-    p.add_argument("--oracle-family", default="bert4rec",
-                   choices=["bert4rec", "sasrec", "temporal"],
-                   help="--oracle model family. 'sasrec' gates the causal "
-                        "next-item family on the same planted Markov "
-                        "structure (Bayes context sits AT the predicted "
-                        "position, so the oracle conditions one step later) "
-                        "and swaps the train-side broken variant for the "
-                        "missing-causal-mask bug: a bidirectional model on "
-                        "the next-item task peeks at its target during "
-                        "training and must collapse at eval. 'temporal' "
-                        "plants a TIME-DEPENDENT Markov law (transitions "
-                        "switch on the inter-event gap) with TWO computable "
-                        "ceilings — the temporal Bayes oracle and the "
-                        "time-blind Bayes oracle — bracketing the value of "
-                        "the time signal; the time-aware model must "
-                        "approach the first and beat the second, and an "
-                        "identically-trained time-blind ablation must stay "
-                        "bounded by the second (evaluation/"
-                        "temporal_oracle.py)")
-    p.add_argument("--full-ranking", action="store_true",
-                   help="also evaluate against the ENTIRE catalog (unbiased "
-                        "protocol; Krichene & Rendle 2020) and emit the "
-                        "numbers under results_full_ranking")
-    return p
-
-
-def emit(out_dir, payload):
-    out_dir = pathlib.Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    path = out_dir / "eval_results.json"
-    with open(path, "w") as f:
-        json.dump(payload, f, indent=2)
-    print(json.dumps({"HR@10": payload["results"].get("HR@10"),
-                      "NDCG@10": payload["results"].get("NDCG@10"),
-                      "out": str(path)}))
-    return path
-
-
-def run_real(args):
-    import jax
-    from bert4rec_tpu import config as config_pkg
-    from bert4rec_tpu import trainers
-    from bert4rec_tpu.dataloaders import get_dataloader_factory
-    from bert4rec_tpu.evaluation import BERT4RecEvaluator
-    from bert4rec_tpu.models import BERT4RecModel
-    from bert4rec_tpu.trainers import optimizers
-    from bert4rec_tpu.trainers.callbacks import EarlyStopping
-
-    factory = get_dataloader_factory("bert4rec")
-    dl_kwargs = ({} if args.dup is None
-                 else {"input_duplication_factor": args.dup})
-    dataloader = getattr(factory, f"create_{args.dataset}_dataloader")(
-        **dl_kwargs)
-    if not dataloader.data_source.is_available():
-        print(json.dumps({
-            "error": f"dataset {args.dataset} not on disk and this "
-                     f"environment has no network; place the raw files "
-                     f"under the data dir and rerun"}))
-        return 2
-
-    train_ds, val_ds, test_ds = dataloader.prepare_training(
-        finetuning_split=args.finetuning_split)
-    tokenizer = dataloader.get_tokenizer()
-
-    config = config_pkg.load_train_config(
-        args.config, vocab_size=tokenizer.get_vocab_size())
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        config = config.replace(use_fused_layer=True, use_fused_loss=True)
-    model = BERT4RecModel(config=config)
-
-    trainer = trainers.get("bert4rec", model=model,
-                           steps_per_call=4 if on_tpu else 1)
-    # the reference's exact optimizer settings
-    trainer.initialize_model(
-        optimizer=optimizers.create_adam_w_optimizer(
-            init_lr=1e-4, num_train_steps=400_000, num_warmup_steps=100),
-        rng=jax.random.key(args.seed))
-    trainer.append_callback(EarlyStopping(monitor="val_loss", patience=20))
-
-    out_dir = pathlib.Path(args.out or f"quality_runs/{args.dataset}")
-    ckpt = out_dir / "checkpoints" / "best.npz"
-    if not args.resume and ckpt.exists():
-        # fresh-run semantics: leftover checkpoints would auto-resume and
-        # (if already at the epoch budget) re-report old weights as a
-        # zero-epoch "run"
-        ckpt.unlink()
-    t0 = time.time()
-    history = trainer.train(train_ds, val_ds, checkpoint_path=ckpt,
-                            epochs=args.epochs, batch_size=args.batch_size,
-                            seed=args.seed)
-
-    evaluator = BERT4RecEvaluator(dataloader=dataloader)
-    results = evaluator.evaluate(model, trainer.params, test_ds,
-                                 batch_size=args.batch_size)
-    # non-learned popularity floor under the identical protocol
-    from bert4rec_tpu.evaluation import PopularityScorer
-    source = list(dataloader.create_item_list_tokenized())
-    floor = BERT4RecEvaluator(dataloader=dataloader).evaluate(
-        PopularityScorer.from_source(source, tokenizer.get_vocab_size()),
-        None, test_ds, batch_size=args.batch_size)
-    full_results = None
-    if args.full_ranking:
-        full_results = BERT4RecEvaluator(full_ranking=True).evaluate(
-            model, trainer.params, test_ds, batch_size=args.batch_size)
-    emit(out_dir, {
-        "dataset": args.dataset,
-        "encoder_config": args.config,
-        "hyperparameters": {
-            "lr": 1e-4, "num_train_steps": 400_000, "warmup_steps": 100,
-            "weight_decay": 0.01, "clip_norm": 5.0,
-            "batch_size": args.batch_size,
-            "input_duplication_factor": dataloader.input_duplication_factor,
-            "finetuning_split": args.finetuning_split,
-            "epochs": args.epochs, "seed": args.seed,
-        },
-        "vocab_size": tokenizer.get_vocab_size(),
-        "epochs_ran": len(history.history.get("loss", [])),
-        "resumed": bool(args.resume),
-        "wall_seconds": time.time() - t0,
-        "results": {k: float(v) for k, v in results.items()},
-        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
-        **({"results_full_ranking":
-            {k: float(v) for k, v in full_results.items()}}
-           if full_results is not None else {}),
-    })
-    return 0
-
-
-# --smoke presets: synthetic next-in-cycle ("markov") data, sized either
-# for a seconds-long CPU self-test or for an on-chip run at the real
-# ml-1m_128 shape (catalog 3706 / seq 200 / batch 256 / fused TPU paths)
-_SMOKE_PRESETS = {
-    "tiny": dict(n_items=40, seq=16, max_pred=4, mask_rate=0.3,
-                 train_rows=384, test_rows=64, epochs=60, batch_size=64,
-                 lr=1e-2, sample_size=20, model=dict(
-                     hidden_size=48, num_layers=2, num_attention_heads=4,
-                     inner_dim=96)),
-    "ml1m": dict(n_items=3706, seq=200, max_pred=40, mask_rate=0.2,
-                 train_rows=8192, test_rows=1024, epochs=15, batch_size=256,
-                 lr=1e-3, sample_size=100, model=dict(
-                     hidden_size=128, num_layers=2, num_attention_heads=4,
-                     inner_dim=512)),
-    # ML-20M catalog: the vocab-tiled flash-softmax loss path inside the
-    # full quality loop (26.7k-wide tied softmax)
-    "ml20m": dict(n_items=26729, seq=200, max_pred=40, mask_rate=0.2,
-                  train_rows=8192, test_rows=1024, epochs=15,
-                  batch_size=256, lr=1e-3, sample_size=100, model=dict(
-                      hidden_size=128, num_layers=2, num_attention_heads=4,
-                      inner_dim=512)),
-    # Reddit catalog (335k items): single-chip training of the largest
-    # reference catalog — the tiled loss streams the 172 MB table; the
-    # XLA logits path cannot run here at all ([B*P, 335k] fp32 > HBM).
-    # Sequences cycle over a 4k active subset (600k training tokens can't
-    # memorize 335k distinct transitions) while the softmax/eval span the
-    # full catalog width. A softmax far wider than the active set has a
-    # long saddle at loss = ln(active): the model first learns "uniform
-    # over seen items", and breaking that symmetry needs enough masked
-    # observations per item (CPU ablation: escape scales with per-item
-    # counts and shrinks ~2x at initializer_range 0.1) — hence the high
-    # epoch count, the wider init, and the 4k active set.
-    "reddit": dict(n_items=335420, active_items=4096, seq=200, max_pred=40,
-                   mask_rate=0.2, train_rows=4096, test_rows=512,
-                   epochs=80, batch_size=256, lr=1e-3, sample_size=100,
-                   model=dict(hidden_size=128, num_layers=2,
-                              num_attention_heads=4, inner_dim=512,
-                              initializer_range=0.1)),
-}
-
-
-def run_smoke(args):
-    import numpy as np
-    import jax
-    from bert4rec_tpu.dataloaders import samplers
-    from bert4rec_tpu.dataloaders.processed_dataset import (
-        MaskingConfig, ProcessedDataset,
-    )
-    from bert4rec_tpu.evaluation import BERT4RecEvaluator
-    from bert4rec_tpu.models import (
-        BERT4RecConfig, BERT4RecModel, SASRecModel,
-    )
-    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
-
-    ps = _SMOKE_PRESETS[args.smoke_scale]
-    n_items, seq = ps["n_items"], ps["seq"]
-    vocab = n_items + 3
-    on_tpu = jax.devices()[0].platform == "tpu"
-    sasrec = args.smoke_family == "sasrec"
-
-    active = ps.get("active_items", n_items)
-
-    def markov(n, sd):
-        r = np.random.default_rng(sd)
-        return [((np.arange(int(r.integers(seq // 2, seq + 1)))
-                  + int(r.integers(0, active))) % active + 3)
-                .astype(np.int32) for _ in range(n)]
-
-    cfg = MaskingConfig(max_seq_len=seq,
-                        max_predictions_per_seq=ps["max_pred"],
-                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
-                        masked_lm_rate=ps["mask_rate"])
-    task = "next_item" if sasrec else "mlm"
-    n_train = ps["train_rows"]
-    train = ProcessedDataset(markov(n_train, 0), cfg, lambda: vocab,
-                             finetuning=np.zeros(n_train, bool), task=task)
-    test_rows = markov(ps["test_rows"], 1)
-    test = ProcessedDataset(test_rows, cfg, lambda: vocab,
-                            finetuning=np.ones(len(test_rows), bool),
-                            task=task)
-
-    model_cls = SASRecModel if sasrec else BERT4RecModel
-    model = model_cls(config=BERT4RecConfig(
-        vocab_size=vocab, max_sequence_length=seq,
-        max_predictions_per_seq=ps["max_pred"],
-        use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
-    trainer = BERT4RecTrainer(model, steps_per_call=4 if on_tpu else 1)
-    trainer.initialize_model(
-        optimizer=optimizers.create_adam_w_optimizer(
-            init_lr=ps["lr"], num_train_steps=20_000, num_warmup_steps=50),
-        rng=jax.random.key(args.seed))
-    t0 = time.time()
-    trainer.train(train, epochs=ps["epochs"], batch_size=ps["batch_size"],
-                  verbose=False, seed=args.seed)
-
-    source = [int(t) for s in test_rows for t in s]
-
-    def make_evaluator():
-        return BERT4RecEvaluator(
-            sampler=samplers.get("pop_random", source=source,
-                                 vocab=list(dict.fromkeys(source)),
-                                 sample_size=ps["sample_size"], seed=0),
-            sample_size=ps["sample_size"])
-
-    results = make_evaluator().evaluate(model, trainer.params, test,
-                                        batch_size=ps["batch_size"],
-                                        progress_bar=False)
-    # the non-learned popularity floor under the identical protocol — the
-    # context that makes the model's number meaningful
-    from bert4rec_tpu.evaluation import PopularityScorer
-    floor = make_evaluator().evaluate(
-        PopularityScorer.from_source(source, vocab), None, test,
-        batch_size=ps["batch_size"], progress_bar=False)
-    assert results["HR@10"] > 0.5, f"smoke run failed to learn: {results}"
-    assert results["HR@10"] > floor["HR@10"], \
-        f"model does not beat the popularity floor: {results} vs {floor}"
-    out_default = "quality_runs/smoke"
-    if args.smoke_scale != "tiny":
-        out_default += f"_{args.smoke_scale}"
-    if sasrec:
-        out_default += "_sasrec"
-    emit(args.out or out_default, {
-        "dataset": f"synthetic-markov (smoke, {args.smoke_scale}, "
-                   f"{args.smoke_family})",
-        "encoder_config": ("tiny" if args.smoke_scale == "tiny"
-                           else "ml-1m_128-shaped"),
-        "platform": jax.devices()[0].platform,
-        "hyperparameters": {"epochs": ps["epochs"],
-                            "batch_size": ps["batch_size"],
-                            "lr": ps["lr"],
-                            "sample_size": ps["sample_size"]},
-        "vocab_size": vocab,
-        "wall_seconds": time.time() - t0,
-        "results": {k: float(v) for k, v in results.items()},
-        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
-    })
-    return 0
-
-
-# --oracle presets: the non-saturating benchmark at CPU-test scale and at
-# the real ml-1m_128 encoder shape (on-chip). alpha=0.6 puts the Bayes
-# ceiling around HR@10 ~ 0.8 — far from 1.0, so a 5-10% protocol/masking
-# regression is visible instead of hidden under saturation.
-#
-# ``gates``: the recorded model/oracle-ratio thresholds, set JUST UNDER
-# the measured achievable ratio per scale (VERDICT r3 weak #1: an 0.80
-# gate under a measured 0.969 lets a 15%+ regression pass silently).
-_ORACLE_PRESETS = {
-    "tiny": dict(n_items=512, branching=8, alpha=0.6, zipf_s=1.1,
-                 seq=32, max_pred=8, mask_rate=0.3, train_rows=3000,
-                 test_rows=512, min_len=16, epochs=40, batch_size=128,
-                 lr=1e-3, sample_size=100,
-                 # measured r3: HR ratio 0.921 (TPU) / 0.942 (CPU sasrec),
-                 # NDCG 0.881/0.899; small scale = higher seed variance
-                 gates=dict(hr10=0.85, ndcg10=0.80),
-                 model=dict(
-                     hidden_size=64, num_layers=2, num_attention_heads=4,
-                     inner_dim=128)),
-    "ml1m": dict(n_items=3706, branching=8, alpha=0.6, zipf_s=1.1,
-                 seq=200, max_pred=40, mask_rate=0.2, train_rows=8192,
-                 test_rows=1024, min_len=40, epochs=80, batch_size=256,
-                 lr=1e-3, sample_size=100,
-                 # measured r4 gap-vs-epochs curve on chip (oracle_ml1m
-                 # gap_curve): HR ratio 0.746/0.925/0.969/0.976 and NDCG
-                 # 0.681/0.858/0.927/0.945 at 10/20/40/80 epochs — the
-                 # NDCG gap is TRAINING-BUDGET-limited (HR saturates by
-                 # 40 while NDCG still climbs); default budget 80 and
-                 # gates just under the 80-epoch point
-                 gates=dict(hr10=0.94, ndcg10=0.91),
-                 model=dict(
-                     hidden_size=128, num_layers=2, num_attention_heads=4,
-                     inner_dim=512)),
-    # ML-20M catalog width: the 26.7k-wide tied softmax routes through the
-    # VOCAB-TILED fused loss on chip — the kernel path that previously had
-    # only SATURATING artifacts (VERDICT r3 missing #2). More rows than
-    # ml1m: the catalog has 8x the transition rows to estimate.
-    "ml20m": dict(n_items=26729, branching=8, alpha=0.6, zipf_s=1.1,
-                  seq=200, max_pred=40, mask_rate=0.2, train_rows=16384,
-                  test_rows=1024, min_len=40, epochs=60, batch_size=256,
-                  lr=1e-3, sample_size=100,
-                  # measured r4 on chip (quality_runs/oracle_ml20m):
-                  # HR ratio 0.961, NDCG 0.921 through the vocab-tiled
-                  # fused loss; gates just under
-                  gates=dict(hr10=0.92, ndcg10=0.88),
-                  model=dict(
-                      hidden_size=128, num_layers=2, num_attention_heads=4,
-                      inner_dim=512)),
-}
-
-
-# gates for the temporal-oracle family (run_oracle_temporal). The
-# discriminating metrics are NDCG@10 and HR@1 — the blind marginal
-# spreads mass over BOTH routed contexts' successor supports, so HR@10
-# against sampled negatives barely separates the ceilings while the
-# time signal decides top-rank ordering (see
-# tests/evaluators_tests/test_temporal_oracle.py). `beat_blind` gates
-# the gold-standard property (the trained model exceeds the time-blind
-# BAYES ceiling) where the training budget measurably reaches it; the
-# ablation margin (model vs the identically-trained time-blind model)
-# gates time-usage everywhere.
-_TEMPORAL_ORACLE_GATES = {
-    # measured (CPU, r4, routed law): ceilings 0.621/0.562 NDCG; model
-    # NDCG ratio 0.861 (40 ep) / 0.887 (120 ep), HR@1 ratio 0.825-0.849
-    # (seed noise between budgets), model-ablation NDCG +0.051/+0.063,
-    # model vs blind ceiling -0.027/-0.011 — approaches but does not
-    # cross at tiny scale/budget
-    "tiny": dict(ndcg10=0.82, hr1=0.78, ablation_margin=0.03,
-                 beat_blind=False),
-    # measured (TPU, r4, quality_runs/oracle_ml1m_temporal): ceilings
-    # 0.699/0.659 NDCG; model NDCG ratio 0.953, HR@1 ratio 0.939,
-    # model-ablation +0.064 — and the model CROSSES the time-blind
-    # Bayes ceiling (+0.007). The crossing margin is thinner than seed
-    # variance, so it is recorded in the artifact (oracle_gap.
-    # model_minus_blind_ceiling_ndcg10) but not gated; ratio gates sit
-    # just under measured
-    "ml1m": dict(ndcg10=0.93, hr1=0.91, ablation_margin=0.04,
-                 beat_blind=False),
-    # measured (TPU, r4, quality_runs/oracle_ml20m_temporal — the
-    # streamed-temporal-bias fused layer COMPOSED with the 26.7k
-    # vocab-tiled loss): ceilings 0.702/0.672 NDCG; model ratio 0.939,
-    # HR@1 ratio 0.921, model-ablation +0.067, model vs blind ceiling
-    # -0.013; gates just under measured
-    "ml20m": dict(ndcg10=0.91, hr1=0.89, ablation_margin=0.04,
-                  beat_blind=False),
-}
-
-
-def run_oracle_temporal(args):
-    """Temporal-family twin of run_oracle: same protocol, same presets,
-    but the planted law is time-dependent and there are TWO computable
-    ceilings (temporal Bayes / time-blind Bayes). The train-side broken
-    variant is the identically-trained TIME-BLIND ablation, which has
-    its own ceiling to be bounded by."""
-    import numpy as np
-    import jax
-    from bert4rec_tpu.dataloaders.processed_dataset import (
-        MaskingConfig, ProcessedDataset,
-    )
-    from bert4rec_tpu.evaluation import PopularityScorer
-    from bert4rec_tpu.evaluation.markov_oracle import evaluate_scorer
-    from bert4rec_tpu.evaluation.temporal_oracle import (
-        TemporalMarkovCatalog, TemporalOracleScorer,
-    )
-    from bert4rec_tpu.models import (
-        BERT4RecConfig, BERT4RecModel, model_utils,
-    )
-    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
-
-    if args.gap_curve or args.full_ranking:
-        raise SystemExit(
-            "--gap-curve / --full-ranking are not implemented for "
-            "--oracle-family temporal (they would silently no-op); use "
-            "the bert4rec/sasrec oracle families for those, or drop the "
-            "flag")
-    ps = dict(_ORACLE_PRESETS[args.oracle_scale])
-    gates = _TEMPORAL_ORACLE_GATES[args.oracle_scale]
-    if args.oracle_epochs:
-        ps["epochs"] = args.oracle_epochs
-    on_tpu = jax.devices()[0].platform == "tpu"
-    t0 = time.time()
-    cat = TemporalMarkovCatalog(
-        n_items=ps["n_items"], branching=ps["branching"],
-        alpha=ps["alpha"], zipf_s=ps["zipf_s"], seed=args.seed)
-    train_seqs, train_ts = cat.sample_sequences(
-        ps["train_rows"], ps["min_len"], ps["seq"], seed=args.seed + 1)
-    test_seqs, test_ts = cat.sample_sequences(
-        ps["test_rows"], ps["min_len"], ps["seq"], seed=args.seed + 2)
-    cfg = MaskingConfig(max_seq_len=ps["seq"],
-                        max_predictions_per_seq=ps["max_pred"],
-                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
-                        masked_lm_rate=ps["mask_rate"])
-    test = ProcessedDataset(test_seqs, cfg, lambda: cat.vocab_size,
-                            finetuning=np.ones(len(test_seqs), bool),
-                            timestamps=test_ts)
-    source = [int(t) for s in train_seqs for t in s]
-    counts = np.bincount(source, minlength=cat.vocab_size)
-
-    def r4(d, keys=("HR@1", "HR@5", "HR@10", "NDCG@10", "MAP")):
-        return {k: round(float(d[k]), 4) for k in keys if k in d}
-
-    def train_model(temporal, tag):
-        train = ProcessedDataset(train_seqs, cfg, lambda: cat.vocab_size,
-                                 timestamps=train_ts)
-        model = BERT4RecModel(config=BERT4RecConfig(
-            vocab_size=cat.vocab_size, max_sequence_length=ps["seq"],
-            max_predictions_per_seq=ps["max_pred"],
-            use_fused_layer=on_tpu, use_fused_loss=on_tpu,
-            use_temporal_embeddings=temporal,
-            use_temporal_attention=temporal, **ps["model"]))
-        params = model_utils.init_output_bias_from_popularity(
-            model.init(jax.random.key(args.seed)), counts)
-        trainer = BERT4RecTrainer(model,
-                                  steps_per_call=4 if on_tpu else 1)
-        trainer.initialize_model(
-            optimizer=optimizers.create_adam_w_optimizer(
-                init_lr=ps["lr"], num_train_steps=400_000,
-                num_warmup_steps=100),
-            params=params)
-        trainer.train(train, epochs=ps["epochs"],
-                      batch_size=ps["batch_size"], verbose=False,
-                      seed=args.seed)
-        res = evaluate_scorer(model, trainer.params, test, source=source,
-                              sample_size=ps["sample_size"], seed=0,
-                              batch_size=ps["batch_size"])
-        print(f"[temporal-oracle] {tag}: {r4(res)}", flush=True)
-        return res
-
-    ekw = dict(source=source, sample_size=ps["sample_size"], seed=0,
-               batch_size=ps["batch_size"])
-    oracle = evaluate_scorer(TemporalOracleScorer(cat), None, test, **ekw)
-    print(f"[temporal-oracle] temporal bayes ceiling: {r4(oracle)}")
-    blind = evaluate_scorer(TemporalOracleScorer(cat, time_blind=True),
-                            None, test, **ekw)
-    print(f"[temporal-oracle] time-blind bayes ceiling: {r4(blind)}")
-    floor = evaluate_scorer(
-        PopularityScorer.from_source(source, cat.vocab_size), None, test,
-        **ekw)
-    off_by_one = evaluate_scorer(
-        TemporalOracleScorer(cat, context_offset=-1), None, test, **ekw)
-    shuffled = evaluate_scorer(TemporalOracleScorer(cat), None, test,
-                               sampler="random", **ekw)
-
-    res_model = train_model(True, "temporal model")
-    res_ablation = train_model(False, "time-blind ablation")
-
-    o_ndcg = float(oracle["NDCG@10"])
-    b_ndcg = float(blind["NDCG@10"])
-    ndcg_ratio = float(res_model["NDCG@10"]) / max(o_ndcg, 1e-9)
-    hr1_ratio = float(res_model["HR@1"]) / max(float(oracle["HR@1"]),
-                                               1e-9)
-    checks = {
-        "oracle_non_saturated": 0.5 <= float(oracle["HR@10"]) <= 0.95,
-        "oracle_clears_floor":
-            o_ndcg >= float(floor["NDCG@10"]) + 0.1,
-        "time_signal_exists": o_ndcg >= b_ndcg + 0.03,
-        f"model_reaches_{round(gates['ndcg10'] * 100)}"
-        "pct_of_oracle_ndcg10": ndcg_ratio >= gates["ndcg10"],
-        f"model_reaches_{round(gates['hr1'] * 100)}pct_of_oracle_hr1":
-            hr1_ratio >= gates["hr1"],
-        "model_uses_time_vs_ablation":
-            float(res_model["NDCG@10"])
-            >= float(res_ablation["NDCG@10"]) + gates["ablation_margin"],
-        "ablation_bounded_by_blind_ceiling":
-            float(res_ablation["NDCG@10"]) <= b_ndcg + 0.03,
-        "model_does_not_beat_bayes":
-            float(res_model["NDCG@10"]) <= o_ndcg + 0.03,
-        "off_by_one_collapses":
-            float(off_by_one["NDCG@10"]) <= o_ndcg - 0.05,
-        "shuffled_negatives_inflate":
-            float(shuffled["HR@10"]) >= float(oracle["HR@10"]) + 0.01,
-    }
-    if gates.get("beat_blind"):
-        # the gold-standard time-usage property: the trained model
-        # exceeds the best possible TIME-BLIND scorer, not just its own
-        # undertrained ablation
-        checks["model_beats_blind_bayes_ceiling"] = (
-            float(res_model["NDCG@10"]) >= b_ndcg + 0.01)
-    emit(args.out or f"quality_runs/oracle_{args.oracle_scale}_temporal", {
-        "dataset": f"temporal markov-oracle benchmark "
-                   f"({args.oracle_scale})",
-        "platform": jax.devices()[0].platform,
-        "generator": {
-            **{k: ps[k] for k in ("n_items", "branching", "alpha",
-                                  "zipf_s", "seq", "mask_rate",
-                                  "train_rows", "test_rows", "epochs")},
-            "gaps_s": list(cat.gaps)},
-        "wall_seconds": time.time() - t0,
-        "results": {k: float(v) for k, v in res_model.items()},
-        "results_temporal_bayes_ceiling":
-            {k: float(v) for k, v in oracle.items()},
-        "results_time_blind_bayes_ceiling":
-            {k: float(v) for k, v in blind.items()},
-        "results_time_blind_ablation":
-            {k: float(v) for k, v in res_ablation.items()},
-        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
-        "results_broken_off_by_one":
-            {k: float(v) for k, v in off_by_one.items()},
-        "results_broken_shuffled_negatives":
-            {k: float(v) for k, v in shuffled.items()},
-        "oracle_gap": {
-            "NDCG@10_ratio": round(ndcg_ratio, 4),
-            "HR@1_ratio": round(hr1_ratio, 4),
-            "model_minus_blind_ceiling_ndcg10":
-                round(float(res_model["NDCG@10"]) - b_ndcg, 4),
-            "model_minus_ablation_ndcg10":
-                round(float(res_model["NDCG@10"])
-                      - float(res_ablation["NDCG@10"]), 4)},
-        "gates": gates,
-        "checks": checks,
-    })
-    ok = all(checks.values())
-    print(json.dumps({"temporal_oracle_checks_passed": ok, **checks}))
-    return 0 if ok else 1
-
-
-def run_smoke_temporal(args):
-    """Temporal-family quality gate: a planted COPY-BY-TIME-DELTA rule —
-    item_i repeats the earlier item whose timestamp is closest to
-    T0 = 1 day before t_i — that relative-time attention can express and
-    a time-blind model cannot (gaps are bimodal {1 h, 12 h}, so "1 day
-    ago" lands 2..24 POSITIONS back; position alone carries no signal).
-
-    The gate ranks the ground truth against the FULL catalog with NO
-    exclusions (model.gt_ranks_full_vocab): the sampled and the
-    exclusion-based full-ranking protocols both remove seen items from
-    the competitor set, and the planted target IS a seen item — any
-    "upweight seen items" prior would ace those. Here the other ~20 seen
-    items compete, so only picking the time-selected one scores.
-    Asserts the temporal model beats an identically-trained TIME-BLIND
-    ablation by a wide margin."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from bert4rec_tpu.dataloaders.processed_dataset import (
-        MaskingConfig, ProcessedDataset,
-    )
-    from bert4rec_tpu.models import BERT4RecConfig, BERT4RecModel
-    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
-
-    n_items, seq, warmup = 512, 48, 24
-    t0_delta = 86_400
-    vocab = n_items + 3
-    on_tpu = jax.devices()[0].platform == "tpu"
-
-    def gen(n, sd):
-        r = np.random.default_rng(sd)
-        seqs, tss = [], []
-        for _ in range(n):
-            ln = int(r.integers(40, seq + 1))
-            gaps = r.choice([3_600, 43_200], size=ln)
-            ts = (1_600_000_000 + np.cumsum(gaps)).astype(np.int64)
-            items = r.integers(3, vocab, size=ln).astype(np.int32)
-            for i in range(warmup, ln):
-                j = int(np.argmin(np.abs((ts[i] - t0_delta) - ts[:i])))
-                items[i] = items[j]
-            seqs.append(items)
-            tss.append(ts)
-        return seqs, tss
-
-    cfg = MaskingConfig(max_seq_len=seq, max_predictions_per_seq=12,
-                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
-                        masked_lm_rate=0.3)
-    train_seqs, train_ts = gen(3072, 0)
-    test_seqs, test_ts = gen(512, 1)
-    train = ProcessedDataset(train_seqs, cfg, lambda: vocab,
-                             finetuning=np.zeros(len(train_seqs), bool),
-                             timestamps=train_ts)
-    test = ProcessedDataset(test_seqs, cfg, lambda: vocab,
-                            finetuning=np.ones(len(test_seqs), bool),
-                            timestamps=test_ts)
-
-    def train_model(temporal: bool):
-        model = BERT4RecModel(config=BERT4RecConfig(
-            vocab_size=vocab, max_sequence_length=seq,
-            max_predictions_per_seq=12, hidden_size=64, num_layers=2,
-            num_attention_heads=4, inner_dim=128,
-            use_fused_layer=on_tpu, use_fused_loss=on_tpu,
-            use_temporal_embeddings=temporal,
-            use_temporal_attention=temporal))
-        trainer = BERT4RecTrainer(model, steps_per_call=4 if on_tpu else 1)
-        trainer.initialize_model(
-            optimizer=optimizers.create_adam_w_optimizer(
-                init_lr=3e-3, num_train_steps=20_000, num_warmup_steps=50),
-            rng=jax.random.key(args.seed))
-        trainer.train(train, epochs=30, batch_size=128, verbose=False,
-                      seed=args.seed)
-        return model, trainer.params
-
-    def rank_metrics(model, params):
-        """HR@k of the LOO ground truth vs the ENTIRE catalog, nothing
-        excluded — seen items compete."""
-        ranks_all = []
-        fn = None
-        for batch in test.batches(128, shuffle=False, seed=0):
-            feats = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k not in ("labels", "example_weights")}
-            if fn is None:
-                fn = jax.jit(lambda p, b: model.gt_ranks_full_vocab(
-                    p, b, exclude=None))
-            r = np.asarray(fn(params, feats))
-            w = np.asarray(batch["masked_lm_weights"]) > 0
-            ranks_all.append(r[w])
-        ranks = np.concatenate(ranks_all)
-        return {f"HR@{k}": float((ranks <= k).mean()) for k in (1, 5, 10)}
-
-    t0 = time.time()
-    model_t, params_t = train_model(True)
-    res_t = rank_metrics(model_t, params_t)
-    print(f"[temporal-smoke] temporal model: {res_t}", flush=True)
-    model_b, params_b = train_model(False)
-    res_b = rank_metrics(model_b, params_b)
-    print(f"[temporal-smoke] time-blind ablation: {res_b}", flush=True)
-
-    # HR@1 is the discriminating metric: the copy rule makes the GT a
-    # FREQUENT in-sequence item, so a time-blind frequency/recency prior
-    # still packs it into the top-10 (measured blind HR@10 0.95 vs
-    # temporal 0.97) — but picking it FIRST requires the time signal
-    # (measured 0.93 vs 0.45)
-    checks = {
-        "temporal_learns_rule": res_t["HR@1"] >= 0.6,
-        "ablation_cannot": res_t["HR@1"] >= res_b["HR@1"] + 0.25,
-        "hr1_separates": res_t["HR@1"] >= 1.5 * max(res_b["HR@1"], 1e-6),
-    }
-    emit(args.out or "quality_runs/smoke_temporal", {
-        "dataset": "synthetic copy-by-time-delta (temporal smoke)",
-        "platform": jax.devices()[0].platform,
-        "generator": {"n_items": n_items, "seq": seq, "warmup": warmup,
-                      "t0_delta_s": t0_delta, "gaps_s": [3600, 43200],
-                      "train_rows": len(train_seqs), "epochs": 30},
-        "protocol": "full-catalog GT rank, NO exclusions (seen items "
-                    "compete; the exclusion protocols cannot "
-                    "discriminate copy rules)",
-        "wall_seconds": time.time() - t0,
-        "results": res_t,  # primary = the temporal model (emit contract)
-        "results_time_blind_ablation": res_b,
-        "checks": checks,
-    })
-    print(json.dumps(checks))
-    if not all(checks.values()):
-        print("[temporal-smoke] GATE FAILED", file=sys.stderr)
-        return 1
-    return 0
-
-
-# per-family gate overrides where the causal family's measured asymptote
-# differs from the bidirectional model the preset gates were tuned on.
-# sasrec@ml20m is training-budget-SATURATED below the shared gates:
-# measured (TPU, r4) HR@10 ratio 0.924 / NDCG@10 ratio 0.845 at the
-# preset's 60 epochs and 0.921 / 0.821 at 120 — a plateau (mild
-# overfit beyond 60), not a budget limit, so the gates sit just under
-# the plateau band instead of pretending the bidirectional ratios apply
-_SASREC_ORACLE_GATE_OVERRIDES = {
-    "ml20m": dict(hr10=0.90, ndcg10=0.80),
-}
-
-
-def run_oracle(args):
-    import numpy as np
-    import jax
-    from bert4rec_tpu.dataloaders.processed_dataset import (
-        MaskingConfig, ProcessedDataset,
-    )
-    from bert4rec_tpu.evaluation import PopularityScorer
-    from bert4rec_tpu.evaluation.markov_oracle import (
-        MarkovCatalog, MarkovOracleScorer, evaluate_scorer,
-    )
-    from bert4rec_tpu.models import (
-        BERT4RecConfig, BERT4RecModel, SASRecModel, model_utils,
-    )
-    from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
-
-    ps = dict(_ORACLE_PRESETS[args.oracle_scale])
-    if args.oracle_epochs:
-        ps["epochs"] = args.oracle_epochs
-    on_tpu = jax.devices()[0].platform == "tpu"
-    sasrec = args.oracle_family == "sasrec"
-    # next-item protocol: the predicted position holds its own context
-    # item (the label is the FOLLOWING item, dataloader_utils.py
-    # next_item_features), so the Bayes oracle conditions one step later
-    # than under MLM (where the position holds [MASK] and the context is
-    # the token before it)
-    task = "next_item" if sasrec else "mlm"
-    ctx = 1 if sasrec else 0
-    t0 = time.time()
-    cat = MarkovCatalog(n_items=ps["n_items"], branching=ps["branching"],
-                        alpha=ps["alpha"], zipf_s=ps["zipf_s"],
-                        seed=args.seed)
-    train_seqs = cat.sample_sequences(ps["train_rows"], ps["min_len"],
-                                      ps["seq"], seed=args.seed + 1)
-    test_seqs = cat.sample_sequences(ps["test_rows"], ps["min_len"],
-                                     ps["seq"], seed=args.seed + 2)
-    cfg = MaskingConfig(max_seq_len=ps["seq"],
-                        max_predictions_per_seq=ps["max_pred"],
-                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
-                        masked_lm_rate=ps["mask_rate"])
-    test = ProcessedDataset(test_seqs, cfg, lambda: cat.vocab_size,
-                            finetuning=np.ones(len(test_seqs), bool),
-                            task=task)
-    source = [int(t) for s in train_seqs for t in s]
-    counts = np.bincount(source, minlength=cat.vocab_size)
-
-    def r4(d, keys=("HR@1", "HR@5", "HR@10", "NDCG@10", "MAP")):
-        return {k: round(float(d[k]), 4) for k in keys if k in d}
-
-    def train_model(mask_rate, tag, model_cls=None, epochs=None):
-        mcfg = MaskingConfig(max_seq_len=ps["seq"],
-                             max_predictions_per_seq=ps["max_pred"],
-                             mask_token_id=1, pad_token_id=0,
-                             unk_token_id=2, masked_lm_rate=mask_rate)
-        train = ProcessedDataset(train_seqs, mcfg, lambda: cat.vocab_size,
-                                 task=task)
-        if model_cls is None:
-            model_cls = SASRecModel if sasrec else BERT4RecModel
-        model = model_cls(config=BERT4RecConfig(
-            vocab_size=cat.vocab_size, max_sequence_length=ps["seq"],
-            max_predictions_per_seq=ps["max_pred"],
-            use_fused_layer=on_tpu, use_fused_loss=on_tpu, **ps["model"]))
-        params = model_utils.init_output_bias_from_popularity(
-            model.init(jax.random.key(args.seed)), counts)
-        trainer = BERT4RecTrainer(model,
-                                  steps_per_call=4 if on_tpu else 1)
-        trainer.initialize_model(
-            optimizer=optimizers.create_adam_w_optimizer(
-                init_lr=ps["lr"], num_train_steps=400_000,
-                num_warmup_steps=100),
-            params=params)
-        trainer.train(train, epochs=epochs or ps["epochs"],
-                      batch_size=ps["batch_size"], verbose=False,
-                      seed=args.seed)
-        res = evaluate_scorer(model, trainer.params, test, source=source,
-                              sample_size=ps["sample_size"], seed=0,
-                              batch_size=ps["batch_size"])
-        print(f"[oracle-bench] {tag}: {r4(res)}", flush=True)
-        return res
-
-    oracle = evaluate_scorer(MarkovOracleScorer(cat, context_offset=ctx),
-                             None, test,
-                             source=source, sample_size=ps["sample_size"],
-                             seed=0, batch_size=ps["batch_size"])
-    print(f"[oracle-bench] bayes oracle: {r4(oracle)}")
-    floor = evaluate_scorer(
-        PopularityScorer.from_source(source, cat.vocab_size), None, test,
-        source=source, sample_size=ps["sample_size"], seed=0,
-        batch_size=ps["batch_size"])
-    off_by_one = evaluate_scorer(
-        MarkovOracleScorer(cat, context_offset=ctx - 1), None, test,
-        source=source, sample_size=ps["sample_size"], seed=0,
-        batch_size=ps["batch_size"])
-    shuffled = evaluate_scorer(
-        MarkovOracleScorer(cat, context_offset=ctx), None, test,
-        source=source,
-        sample_size=ps["sample_size"], seed=0, sampler="random",
-        batch_size=ps["batch_size"])
-
-    curve = None
-    if args.gap_curve:
-        # the oracle/floor are training-free constants; train a fresh
-        # model per budget and chart the gap closing (or plateauing)
-        budgets = sorted({int(x) for x in args.gap_curve.split(",")})
-        ps["epochs"] = budgets[-1]
-        curve = []
-        for e in budgets[:-1]:
-            r = train_model(ps["mask_rate"], f"curve epochs={e}", epochs=e)
-            curve.append({
-                "epochs": e,
-                "HR@10_ratio": round(float(r["HR@10"])
-                                     / max(float(oracle["HR@10"]), 1e-9),
-                                     4),
-                "NDCG@10_ratio": round(
-                    float(r["NDCG@10"])
-                    / max(float(oracle["NDCG@10"]), 1e-9), 4),
-                "results": {k: float(v) for k, v in r.items()},
-            })
-
-    res_model = train_model(ps["mask_rate"], "trained model")
-    if curve is not None:
-        curve.append({
-            "epochs": ps["epochs"],
-            "HR@10_ratio": round(float(res_model["HR@10"])
-                                 / max(float(oracle["HR@10"]), 1e-9), 4),
-            "NDCG@10_ratio": round(float(res_model["NDCG@10"])
-                                   / max(float(oracle["NDCG@10"]), 1e-9),
-                                   4),
-            "results": {k: float(v) for k, v in res_model.items()},
-        })
-        print(json.dumps({"gap_curve": [
-            {k: c[k] for k in ("epochs", "HR@10_ratio", "NDCG@10_ratio")}
-            for c in curve]}))
-    if sasrec:
-        # train-side broken variant: the missing-causal-mask bug. A
-        # bidirectional model on the next-item task sees each label in
-        # its own input (the item at position p+1) and learns to copy it
-        # — then collapses at eval, where the target item is dropped
-        # from the input (next_item_features pads it out)
-        res_broken_train = train_model(
-            ps["mask_rate"], "broken non-causal next-item",
-            model_cls=BERT4RecModel)
-        broken_train_key = "results_broken_noncausal"
-        broken_train_check = "noncausal_leak_collapses"
-    else:
-        # train-side broken variant: a near-zero masking rate leaves ONE
-        # masked position per sequence (rates above max_pred/len are
-        # capped by max_predictions_per_seq, so "too high" is not
-        # observable) — ~7x less training signal at the same epoch
-        # budget, which the benchmark must see as a measurable quality
-        # drop
-        res_broken_train = train_model(0.02, "broken masking-rate 0.02")
-        broken_train_key = "results_broken_masking_rate"
-        broken_train_check = "wrong_masking_rate_degrades"
-
-    gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
-    gap_ndcg = (float(res_model["NDCG@10"])
-                / max(float(oracle["NDCG@10"]), 1e-9))
-    gates = dict(ps.get("gates", {}))
-    if sasrec:
-        gates.update(_SASREC_ORACLE_GATE_OVERRIDES.get(
-            args.oracle_scale, {}))
-    hr_gate = gates.get("hr10", 0.80)
-    ndcg_gate = gates.get("ndcg10")
-    checks = {
-        "oracle_non_saturated": 0.5 <= float(oracle["HR@10"]) <= 0.95,
-        "oracle_clears_floor":
-            float(oracle["HR@10"]) >= float(floor["HR@10"]) + 0.1,
-        f"model_reaches_{round(hr_gate * 100)}pct_of_oracle_hr10":
-            gap_hr >= hr_gate,
-        "model_does_not_beat_bayes":
-            float(res_model["HR@10"]) <= float(oracle["HR@10"]) + 0.05,
-        "off_by_one_collapses":
-            float(off_by_one["HR@10"]) <= 0.8 * float(oracle["HR@10"]),
-        "shuffled_negatives_inflate":
-            float(shuffled["HR@10"]) >= float(oracle["HR@10"]) + 0.01,
-        broken_train_check:
-            float(res_broken_train["HR@10"])
-            <= float(res_model["HR@10"]) - 0.03,
-    }
-    if ndcg_gate is not None:
-        checks[f"model_reaches_{round(ndcg_gate * 100)}"
-               "pct_of_oracle_ndcg10"] = gap_ndcg >= ndcg_gate
-    out_default = f"quality_runs/oracle_{args.oracle_scale}"
-    if sasrec:
-        out_default += "_sasrec"
-    emit(args.out or out_default, {
-        "dataset": f"markov-oracle benchmark ({args.oracle_scale}, "
-                   f"{args.oracle_family})",
-        "platform": jax.devices()[0].platform,
-        "generator": {k: ps[k] for k in
-                      ("n_items", "branching", "alpha", "zipf_s", "seq",
-                       "mask_rate", "train_rows", "test_rows", "epochs")},
-        "wall_seconds": time.time() - t0,
-        "results": {k: float(v) for k, v in res_model.items()},
-        "results_bayes_oracle": {k: float(v) for k, v in oracle.items()},
-        "results_popularity_floor": {k: float(v) for k, v in floor.items()},
-        "results_broken_off_by_one":
-            {k: float(v) for k, v in off_by_one.items()},
-        "results_broken_shuffled_negatives":
-            {k: float(v) for k, v in shuffled.items()},
-        broken_train_key:
-            {k: float(v) for k, v in res_broken_train.items()},
-        "oracle_gap": {"HR@10_ratio": round(gap_hr, 4),
-                       "NDCG@10_ratio": round(gap_ndcg, 4)},
-        "gates": {"hr10": hr_gate, "ndcg10": ndcg_gate},
-        **({"gap_curve": curve} if curve is not None else {}),
-        "checks": checks,
-    })
-    ok = all(checks.values())
-    print(json.dumps({"oracle_checks_passed": ok, **checks}))
-    return 0 if ok else 1
-
-
-def main(argv=None):
-    args = build_argparser().parse_args(argv)
-    if args.oracle and args.oracle_family == "temporal":
-        return run_oracle_temporal(args)
-    if args.oracle:
-        return run_oracle(args)
-    if args.smoke and args.smoke_family == "temporal":
-        return run_smoke_temporal(args)
-    return run_smoke(args) if args.smoke else run_real(args)
-
+from bert4rec_tpu.evaluation.quality_harness import (  # noqa: E402,F401
+    _ORACLE_PRESETS,
+    _SASREC_ORACLE_GATE_OVERRIDES,
+    _SMOKE_PRESETS,
+    _TEMPORAL_ORACLE_GATES,
+    build_argparser,
+    emit,
+    main,
+    run_oracle,
+    run_oracle_temporal,
+    run_real,
+    run_smoke,
+    run_smoke_temporal,
+)
 
 if __name__ == "__main__":
     sys.exit(main())
