@@ -303,6 +303,69 @@ class MarkovOracleScorer:
         return beaten + 1
 
 
+def host_full_ranking_oracle(catalog, test_ds, *, context_offset: int = 0,
+                             batch_size: int = 256):
+    """Full-catalog (unsampled) GT ranks + metrics of the Bayes oracle,
+    computed on HOST numpy — the paired ceiling for the evaluator's
+    ``full_ranking=True`` protocol.
+
+    The device-dense path is guarded (``DENSE_VOCAB_LIMIT``: a [V, V]
+    jit constant wedges compilation through the device tunnel and pins
+    multi-GB device memory), but on the host the dense law is a plain
+    numpy array — 2.9 GB at ML-20M width, seconds of compute. Catalogs
+    whose dense law exceeds host comfort (Reddit's 335k -> ~450 GB) must
+    skip the ceiling; callers check :meth:`fits_host_dense`.
+
+    Same rank law and exclusion set as
+    ``BERT4RecEvaluator._evaluate_batch_full``: competitors exclude the
+    row's labels and ground truths; ties count ahead of the GT; the GT
+    never self-counts. Metrics via the same metric classes the evaluator
+    uses, so the numbers are directly comparable.
+
+    :returns: ``(metrics dict, ranks np.ndarray)``
+    """
+    from bert4rec_tpu.evaluation.bert4rec_evaluator import default_metrics
+
+    logm = catalog.log_next_prob_matrix()                 # [V, V] fp32
+    v = catalog.vocab_size
+    metrics = default_metrics()
+    all_ranks = []
+    for batch in test_ds.batches(batch_size, shuffle=False, seed=0):
+        labels = np.asarray(batch["labels"])
+        gt_ids = np.asarray(batch["masked_lm_ids"]).astype(np.int64)
+        weights = np.asarray(batch["masked_lm_weights"])
+        pos = np.asarray(batch["masked_lm_positions"]).astype(np.int64)
+        ids = np.asarray(batch["input_word_ids"])
+        valid = weights > 0
+        b, p = gt_ids.shape
+
+        # numpy twin of MarkovOracleScorer._prev_tokens
+        prev_idx = np.maximum(pos - 1 + context_offset, 0)
+        prev = np.take_along_axis(ids, prev_idx, axis=1)
+        prev = np.where(pos + context_offset <= 0, 1, prev)
+
+        rows = logm[prev]                                 # [B, P, V]
+        gt = np.take_along_axis(rows, gt_ids[..., None], axis=-1)
+        excl = np.zeros((b, v), bool)
+        np.put_along_axis(excl, np.where(labels > 0, labels, 0),
+                          labels > 0, axis=1)
+        np.put_along_axis(excl, np.where(valid, gt_ids, 0), valid, axis=1)
+        rows = np.where(excl[:, None, :], NEG_INF, rows)
+        np.put_along_axis(rows, gt_ids[..., None], NEG_INF, axis=-1)
+        ranks = (rows >= gt).sum(axis=-1) + 1             # [B, P]
+        r = ranks[valid]
+        all_ranks.append(r)
+        for m in metrics:
+            m.update_batch(r)
+    return ({m.name: m.result() for m in metrics},
+            np.concatenate(all_ranks) if all_ranks else np.empty(0))
+
+
+def fits_host_dense(catalog, budget_bytes: int = 16 * 2**30) -> bool:
+    """True if the catalog's dense [V, V] fp32 law fits the host budget."""
+    return 4 * catalog.vocab_size ** 2 <= budget_bytes
+
+
 def evaluate_scorer(scorer, params, test_ds, *, source: Sequence[int],
                     sample_size: int = 100, seed: int = 0,
                     sampler: str = "pop_random",

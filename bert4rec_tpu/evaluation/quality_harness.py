@@ -421,12 +421,13 @@ _ORACLE_PRESETS = {
                    seq=200, max_pred=40, mask_rate=0.2, train_rows=16384,
                    test_rows=1024, min_len=40, epochs=60, batch_size=256,
                    lr=1e-3, sample_size=100,
-                   # PROVISIONAL gates pending the first on-chip
-                   # measurement (tail contexts unseen in training bound
-                   # this scale below the ml20m ratios by construction);
-                   # to be raised to just-under-measured once
-                   # quality_runs/oracle_reddit exists
-                   gates=dict(hr10=0.50, ndcg10=0.45),
+                   # measured r5 on chip (quality_runs/oracle_reddit,
+                   # 618 s wall): ceiling HR@10 0.7832 / NDCG@10 0.6704;
+                   # model 0.7188 / 0.5878 -> ratios 0.918 / 0.877
+                   # through the 335k vocab-tiled loss. Tail contexts
+                   # unseen in 2M training tokens bound this scale below
+                   # the ml20m ratios by construction; gates just under
+                   gates=dict(hr10=0.89, ndcg10=0.85),
                    model=dict(hidden_size=128, num_layers=2,
                               num_attention_heads=4, inner_dim=512,
                               initializer_range=0.1)),
@@ -861,7 +862,7 @@ def run_oracle(args):
                               sample_size=ps["sample_size"], seed=0,
                               batch_size=ps["batch_size"])
         print(f"[oracle-bench] {tag}: {r4(res)}", flush=True)
-        return res
+        return res, model, trainer.params
 
     oracle = evaluate_scorer(MarkovOracleScorer(cat, context_offset=ctx),
                              None, test,
@@ -890,7 +891,8 @@ def run_oracle(args):
         ps["epochs"] = budgets[-1]
         curve = []
         for e in budgets[:-1]:
-            r = train_model(ps["mask_rate"], f"curve epochs={e}", epochs=e)
+            r, _, _ = train_model(ps["mask_rate"], f"curve epochs={e}",
+                                  epochs=e)
             curve.append({
                 "epochs": e,
                 "HR@10_ratio": round(float(r["HR@10"])
@@ -902,7 +904,8 @@ def run_oracle(args):
                 "results": {k: float(v) for k, v in r.items()},
             })
 
-    res_model = train_model(ps["mask_rate"], "trained model")
+    res_model, model_obj, model_params = train_model(ps["mask_rate"],
+                                                     "trained model")
     if curve is not None:
         curve.append({
             "epochs": ps["epochs"],
@@ -922,7 +925,7 @@ def run_oracle(args):
         # its own input (the item at position p+1) and learns to copy it
         # — then collapses at eval, where the target item is dropped
         # from the input (next_item_features pads it out)
-        res_broken_train = train_model(
+        res_broken_train, _, _ = train_model(
             ps["mask_rate"], "broken non-causal next-item",
             model_cls=BERT4RecModel)
         broken_train_key = "results_broken_noncausal"
@@ -934,9 +937,58 @@ def run_oracle(args):
         # observable) — ~7x less training signal at the same epoch
         # budget, which the benchmark must see as a measurable quality
         # drop
-        res_broken_train = train_model(0.02, "broken masking-rate 0.02")
+        res_broken_train, _, _ = train_model(0.02,
+                                             "broken masking-rate 0.02")
         broken_train_key = "results_broken_masking_rate"
         broken_train_check = "wrong_masking_rate_degrades"
+
+    full_block = None
+    if args.full_ranking:
+        # the UNSAMPLED protocol (Krichene & Rendle 2020: sampled metrics
+        # are biased estimators): rank every ground truth against the
+        # entire catalog. The model side streams the table in vocab tiles
+        # above 65k items (ops/candidate_scoring.gt_ranks_tiled), so this
+        # runs at the Reddit catalog's 335k width on one chip; the Bayes
+        # ceiling is computed host-side from the dense law where it fits
+        # host RAM (<= ML-20M width).
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        from bert4rec_tpu.evaluation.markov_oracle import (
+            fits_host_dense, host_full_ranking_oracle,
+        )
+        ev_full = BERT4RecEvaluator(full_ranking=True)
+        res_full = ev_full.evaluate(model_obj, model_params, test,
+                                    batch_size=ps["batch_size"],
+                                    progress_bar=False)
+        # second pass for wall-clock (first pass paid the jit compile)
+        n_batches = -(-ps["test_rows"] // ps["batch_size"])
+        t_fr = time.time()
+        ev_full.evaluate(model_obj, model_params, test,
+                         batch_size=ps["batch_size"], progress_bar=False)
+        ms_per_batch = (time.time() - t_fr) * 1000 / n_batches
+        full_block = {
+            "results": {k: float(v) for k, v in res_full.items()},
+            "ms_per_batch": round(ms_per_batch, 2),
+            "batch_size": ps["batch_size"],
+        }
+        if fits_host_dense(cat):
+            full_oracle, _ = host_full_ranking_oracle(
+                cat, test, context_offset=ctx,
+                batch_size=ps["batch_size"])
+            full_block["results_bayes_oracle"] = {
+                k: float(v) for k, v in full_oracle.items()}
+            full_block["oracle_gap"] = {
+                "HR@10_ratio": round(
+                    float(res_full["HR@10"])
+                    / max(float(full_oracle["HR@10"]), 1e-9), 4),
+                "NDCG@10_ratio": round(
+                    float(res_full["NDCG@10"])
+                    / max(float(full_oracle["NDCG@10"]), 1e-9), 4)}
+        else:
+            full_block["results_bayes_oracle"] = (
+                "skipped: dense [V, V] law exceeds host RAM at "
+                f"vocab {cat.vocab_size}")
+        print(f"[oracle-bench] full-ranking: {r4(res_full)} "
+              f"({ms_per_batch:.1f} ms/batch)", flush=True)
 
     gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
     gap_ndcg = (float(res_model["NDCG@10"])
@@ -966,6 +1018,18 @@ def run_oracle(args):
     if ndcg_gate is not None:
         checks[f"model_reaches_{round(ndcg_gate * 100)}"
                "pct_of_oracle_ndcg10"] = gap_ndcg >= ndcg_gate
+    if full_block is not None and "oracle_gap" in full_block:
+        # the unsampled path is quality-gated too: the model cannot beat
+        # the Bayes ceiling under the full protocol, and the preset may
+        # pin a measured floor (full_ndcg10 gate)
+        checks["full_ranking_does_not_beat_bayes"] = (
+            float(full_block["results"]["HR@10"])
+            <= float(full_block["results_bayes_oracle"]["HR@10"]) + 0.05)
+        fr_gate = gates.get("full_ndcg10")
+        if fr_gate is not None:
+            checks[f"full_ranking_reaches_{round(fr_gate * 100)}"
+                   "pct_of_oracle_ndcg10"] = (
+                full_block["oracle_gap"]["NDCG@10_ratio"] >= fr_gate)
     out_default = f"quality_runs/oracle_{args.oracle_scale}"
     if sasrec:
         out_default += "_sasrec"
@@ -990,6 +1054,8 @@ def run_oracle(args):
                        "NDCG@10_ratio": round(gap_ndcg, 4)},
         "gates": {"hr10": hr_gate, "ndcg10": ndcg_gate},
         **({"gap_curve": curve} if curve is not None else {}),
+        **({"results_full_ranking": full_block}
+           if full_block is not None else {}),
         "checks": checks,
     })
     ok = all(checks.values())

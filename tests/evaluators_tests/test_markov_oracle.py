@@ -129,6 +129,30 @@ class TestCatalogLaw:
         assert 0.85 < frac < 0.97, frac
 
 
+class TestHostFullRankingOracle:
+
+    def test_matches_device_dense_scorer_through_evaluator(self, bench):
+        """host_full_ranking_oracle (numpy, dense law) must produce the
+        SAME metrics as the device dense scorer driven through
+        BERT4RecEvaluator(full_ranking=True) — the paired-ceiling
+        property the full-ranking oracle gate rests on."""
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        from bert4rec_tpu.evaluation.markov_oracle import (
+            fits_host_dense, host_full_ranking_oracle,
+        )
+        cat, test = bench["cat"], bench["test"]
+        assert fits_host_dense(cat)
+        host, ranks = host_full_ranking_oracle(cat, test, batch_size=128)
+        scorer = MarkovOracleScorer(cat)
+        ev = BERT4RecEvaluator(full_ranking=True)
+        device = ev.evaluate(scorer, None, test, batch_size=128,
+                             progress_bar=False)
+        assert host["Valid Ranks"] == device["Valid Ranks"] == len(ranks)
+        for k in device:
+            np.testing.assert_allclose(host[k], device[k], rtol=1e-9,
+                                       err_msg=k)
+
+
 class TestProtocolSensitivity:
     """The benchmark must NOT saturate and MUST detect protocol bugs."""
 

@@ -66,7 +66,20 @@ def main(argv=None):
                         help="per-chip batch scaling at this scale: "
                              "no-remat B=32/64, remat B=64/128/256 — the "
                              "throughput-optimal operating point")
+    parser.add_argument("--decompose", action="store_true",
+                        help="MEASURED step decomposition (VERDICT r4 #5): "
+                             "nested measurement-only kernel ablations "
+                             "(drop the softmax pipeline, drop the softmax "
+                             "jacobian, drop attention entirely) whose "
+                             "pairwise deltas split the step into softmax "
+                             "/ jacobian / attention-matmul / rest pieces "
+                             "that sum to the anchor by construction")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override the measurement batch size")
     args = parser.parse_args(argv)
+    global B
+    if args.batch:
+        B = args.batch
 
     import jax
     assert jax.devices()[0].platform == "tpu", jax.devices()
@@ -132,7 +145,112 @@ def main(argv=None):
         ms = (time.perf_counter() - t0) * 1000 / n
         best_ms[name] = min(best_ms.get(name, float("inf")), ms)
 
-    if args.extended:
+    if args.decompose:
+        # ---- measured step decomposition ------------------------------
+        # Four nested variants, dropout OFF everywhere (its cost is
+        # measured separately by --extended's nodrop ablation). Each
+        # patched variant compiles its jitted step WHILE the measurement-
+        # only kernel patch is active; once compiled, the trace is
+        # frozen, so all four coexist and interleave cleanly.
+        #
+        #   V0 smax   — the real kernel (anchor, no dropout)
+        #   V1 nosmax — softmax pipeline removed: probs = masked scaled
+        #               scores (no rowmax/exp/rowsum/normalize) in BOTH
+        #               the forward and the backward's recompute;
+        #               jacobian kept. V0-V1 = the softmax pipeline.
+        #   V2 nojac  — additionally dS = dP (softmax jacobian's
+        #               two [S,S] passes + rowsum removed). V1-V2 = jac.
+        #   V3 noattn — flash_attention replaced by o = v (identity):
+        #               all six attention matmuls + the mask pass gone.
+        #               V2-V3 = attention matmuls; V3 = everything else
+        #               (qkv/out-proj/FFN matmuls, LN, gelu, embeddings,
+        #               MLM head, optimizer).
+        #
+        # The deltas sum to V0 by construction — an auditable 100%
+        # accounting, not pass-count arithmetic.
+        import contextlib
+
+        import jax.numpy as jnp
+
+        from bert4rec_tpu.ops import flash_attention as fa
+
+        real_probs = fa._probs
+        real_bwd = fa._bwd_kernel
+        real_flash = fa.flash_attention
+
+        def probs_nosmax(q, k, mask, scale, causal):
+            s_mat = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            # keep the mask pass (it survives in every real variant);
+            # use a multiplicative mask so values stay finite without
+            # the exp that would normally absorb the -inf bias
+            return s_mat * jnp.where(mask > 0, 1.0, 0.0)[None, :]
+
+        def bwd_nojac(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, dropout_rate,
+                      n_heads, hpc, causal):
+            mask = mask_ref[fa.pl.program_id(0)]
+            for h in range(hpc):
+                q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+                do = do_ref[0, h].astype(jnp.float32)
+                p = fa._probs(q, k, mask, scale, causal)
+                dv = jax.lax.dot_general(
+                    p.astype(v.dtype), do.astype(v.dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dd = jax.lax.dot_general(
+                    do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = dd.astype(q.dtype)          # jacobian dropped
+                dq = jax.lax.dot_general(
+                    ds, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dq_ref[0, h] = dq.astype(dq_ref.dtype)
+                dk_ref[0, h] = dk.astype(dk_ref.dtype)
+                dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+        def flash_identity(q, k, v, mask, *a, **kw):
+            return v.astype(q.dtype)
+
+        @contextlib.contextmanager
+        def patched(**attrs):
+            saved = {k: getattr(fa, k) for k in attrs}
+            try:
+                for k, val in attrs.items():
+                    setattr(fa, k, val)
+                yield
+            finally:
+                for k, val in saved.items():
+                    setattr(fa, k, val)
+
+        nodrop = dict(attention_dropout=0.0, output_dropout=0.0)
+        variants = []
+        anchor = build(False, 1, **nodrop)
+        if not warmup("smax", anchor):
+            raise SystemExit("anchor failed to compile")
+        variants.append(("smax", anchor))
+
+        with patched(_probs=probs_nosmax):
+            tr = build(False, 1, **nodrop)
+            if warmup("nosmax", tr):
+                variants.append(("nosmax", tr))
+        with patched(_probs=probs_nosmax, _bwd_kernel=bwd_nojac):
+            tr = build(False, 1, **nodrop)
+            if warmup("nojac", tr):
+                variants.append(("nojac", tr))
+        with patched(flash_attention=flash_identity):
+            tr = build(False, 1, **nodrop)
+            if warmup("noattn", tr):
+                variants.append(("noattn", tr))
+
+        for _ in range(ROUNDS):
+            for name, tr in variants:
+                measure_round(name, tr)
+    elif args.extended:
         # diagnostic ablations, each interleaved PAIRWISE against the
         # resident no-remat anchor: one extra trainer lives at a time
         # (anchor + variant + no-remat activations is the HBM ceiling at
@@ -218,6 +336,18 @@ def main(argv=None):
     }
     if failed:
         report["failed_variants"] = failed
+    if args.decompose and all(k in best_ms for k in
+                              ("smax", "nosmax", "nojac", "noattn")):
+        report["decomposition_ms"] = {
+            "softmax_pipeline": round(best_ms["smax"] - best_ms["nosmax"],
+                                      2),
+            "softmax_jacobian": round(best_ms["nosmax"] - best_ms["nojac"],
+                                      2),
+            "attention_matmuls": round(best_ms["nojac"] - best_ms["noattn"],
+                                       2),
+            "rest": round(best_ms["noattn"], 2),
+            "sums_to_anchor": round(best_ms["smax"], 2),
+        }
     print(json.dumps(report))
     if args.json_out:
         pathlib.Path(args.json_out).write_text(
