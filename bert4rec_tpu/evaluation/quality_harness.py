@@ -773,15 +773,25 @@ def run_smoke_temporal(args):
     return 0
 
 
-# per-family gate overrides where the causal family's measured asymptote
-# differs from the bidirectional model the preset gates were tuned on.
-# sasrec@ml20m is training-budget-SATURATED below the shared gates:
-# measured (TPU, r4) HR@10 ratio 0.924 / NDCG@10 ratio 0.845 at the
-# preset's 60 epochs and 0.921 / 0.821 at 120 — a plateau (mild
-# overfit beyond 60), not a budget limit, so the gates sit just under
-# the plateau band instead of pretending the bidirectional ratios apply
+# per-family overrides for the causal family. r4 recorded sasrec@ml20m
+# as an accepted "plateau" (HR ratio 0.924/NDCG 0.845 at 60 epochs,
+# LOWER at 120); r5 diagnosed the mechanism (tools/sasrec_plateau.py,
+# quality_runs/sasrec_ml20m_plateau/): the next-item task is
+# DETERMINISTIC — identical (input, target) pairs every epoch — so it
+# lacks the per-epoch re-mask augmentation the masked-LM family gets,
+# and extra epochs memorize the 16k training rows (train-holdout ratio
+# rising 1.20 -> 1.22 ABOVE the Bayes ceiling while test fell
+# 0.928 -> 0.908). Both predicted remedies measured: 2x rows at the same
+# budget lifts test to 0.952/0.897, and dropout 0.3 at 120 epochs to
+# 0.962/0.927 — the family's ml1m-level ratios. The preset override
+# bakes in the dropout remedy (same data budget as the other families);
+# gates sit just under the measured point.
+_SASREC_ORACLE_PRESET_OVERRIDES = {
+    "ml20m": dict(epochs=120, model_extra=dict(attention_dropout=0.3,
+                                               output_dropout=0.3)),
+}
 _SASREC_ORACLE_GATE_OVERRIDES = {
-    "ml20m": dict(hr10=0.90, ndcg10=0.80),
+    "ml20m": dict(hr10=0.93, ndcg10=0.89),
 }
 
 
@@ -801,10 +811,17 @@ def run_oracle(args):
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
     ps = dict(_ORACLE_PRESETS[args.oracle_scale])
+    sasrec = args.oracle_family == "sasrec"
+    if sasrec:
+        over = dict(_SASREC_ORACLE_PRESET_OVERRIDES.get(
+            args.oracle_scale, {}))
+        extra = over.pop("model_extra", None)
+        ps.update(over)
+        if extra:
+            ps["model"] = {**ps["model"], **extra}
     if args.oracle_epochs:
         ps["epochs"] = args.oracle_epochs
     on_tpu = jax.devices()[0].platform == "tpu"
-    sasrec = args.oracle_family == "sasrec"
     # next-item protocol: the predicted position holds its own context
     # item (the label is the FOLLOWING item, dataloader_utils.py
     # next_item_features), so the Bayes oracle conditions one step later
