@@ -445,13 +445,18 @@ _ORACLE_PRESETS = {
 # ablation margin (model vs the identically-trained time-blind model)
 # gates time-usage everywhere.
 _TEMPORAL_ORACLE_GATES = {
-    # measured (CPU, r4, routed law): ceilings 0.621/0.562 NDCG; model
-    # NDCG ratio 0.861 (40 ep) / 0.887 (120 ep), HR@1 ratio 0.825-0.849
-    # (seed noise between budgets), model-ablation NDCG +0.051/+0.063,
-    # model vs blind ceiling -0.027/-0.011 — approaches but does not
-    # cross at tiny scale/budget
-    "tiny": dict(ndcg10=0.82, hr1=0.78, ablation_margin=0.03,
-                 beat_blind=False),
+    # r4 recorded 0.861 NDCG ratio at the preset's 40 epochs and left it
+    # unexplained (VERDICT r4 weak #3/#7); the r5 budget curve shows the
+    # cell was TRAINING-BUDGET-limited, same signature as the bert4rec
+    # ml1m gap curve: NDCG ratio 0.861 (40 ep) -> 0.887 (120) ->
+    # 0.9015 (240) -> 0.9214 (480), model-minus-blind-ceiling
+    # -0.027 -> -0.011 -> -0.0016 -> +0.0108 (the tiny cell CROSSES the
+    # time-blind Bayes ceiling at 480 epochs). The family preset now
+    # trains the tiny cell 480 epochs (`epochs` here overrides the
+    # shared preset budget); gates just under the 480-epoch point. The
+    # thin crossing (+0.011) is recorded, not gated (seed variance).
+    "tiny": dict(ndcg10=0.90, hr1=0.85, ablation_margin=0.03,
+                 beat_blind=False, epochs=480),
     # measured (TPU, r4, quality_runs/oracle_ml1m_temporal): ceilings
     # 0.699/0.659 NDCG; model NDCG ratio 0.953, HR@1 ratio 0.939,
     # model-ablation +0.064 — and the model CROSSES the time-blind
@@ -505,6 +510,8 @@ def run_oracle_temporal(args):
             "flag")
     ps = dict(_ORACLE_PRESETS[args.oracle_scale])
     gates = _TEMPORAL_ORACLE_GATES[args.oracle_scale]
+    if "epochs" in gates:  # family-specific budget (see the gate table)
+        ps["epochs"] = gates["epochs"]
     if args.oracle_epochs:
         ps["epochs"] = args.oracle_epochs
     on_tpu = jax.devices()[0].platform == "tpu"

@@ -172,11 +172,9 @@ def main(argv=None):
 
         import jax.numpy as jnp
 
-        from bert4rec_tpu.ops import flash_attention as fa
-
-        real_probs = fa._probs
-        real_bwd = fa._bwd_kernel
-        real_flash = fa.flash_attention
+        # NB: `from bert4rec_tpu.ops import flash_attention` would bind
+        # the re-exported FUNCTION (ops/__init__.py), not the module
+        import bert4rec_tpu.ops.flash_attention as fa
 
         def probs_nosmax(q, k, mask, scale, causal):
             s_mat = jax.lax.dot_general(
