@@ -478,10 +478,12 @@ _TEMPORAL_ORACLE_GATES = {
     # -0.013; gates just under measured
     "ml20m": dict(ndcg10=0.91, hr1=0.89, ablation_margin=0.04,
                   beat_blind=False),
-    # PROVISIONAL pending the first on-chip measurement at the 335k
-    # catalog (quality_runs/oracle_reddit_temporal); to be raised to
-    # just-under-measured once it exists
-    "reddit": dict(ndcg10=0.70, hr1=0.65, ablation_margin=0.03,
+    # measured r5 on chip (quality_runs/oracle_reddit_temporal —
+    # streamed temporal bias COMPOSED with the 335k vocab-tiled loss):
+    # ceilings 0.7028 / 0.6555 NDCG (time-signal gap 0.047); model
+    # ratio 0.883, HR@1 ratio 0.833, model-ablation +0.094; gates just
+    # under measured
+    "reddit": dict(ndcg10=0.86, hr1=0.81, ablation_margin=0.07,
                    beat_blind=False),
 }
 
@@ -801,9 +803,16 @@ def run_smoke_temporal(args):
 _SASREC_ORACLE_PRESET_OVERRIDES = {
     "ml20m": dict(epochs=120, model_extra=dict(attention_dropout=0.3,
                                                output_dropout=0.3)),
+    # same memorization mechanism at the 335k catalog (measured r5:
+    # base preset 0.878/0.786 vs the masked-LM family's 0.918/0.877 on
+    # the identical world); the ml20m remedy applies
+    "reddit": dict(epochs=120, model_extra=dict(attention_dropout=0.3,
+                                                output_dropout=0.3)),
 }
 _SASREC_ORACLE_GATE_OVERRIDES = {
     "ml20m": dict(hr10=0.93, ndcg10=0.89),
+    # PROVISIONAL pending the remedy measurement at this scale
+    "reddit": dict(hr10=0.80, ndcg10=0.70),
 }
 
 

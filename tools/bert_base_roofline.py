@@ -172,9 +172,12 @@ def main(argv=None):
 
         import jax.numpy as jnp
 
-        # NB: `from bert4rec_tpu.ops import flash_attention` would bind
-        # the re-exported FUNCTION (ops/__init__.py), not the module
-        import bert4rec_tpu.ops.flash_attention as fa
+        # NB: ops/__init__.py re-exports a FUNCTION named
+        # flash_attention, which shadows the submodule as a package
+        # attribute — `import ... as fa` resolves through getattr and
+        # binds the function. Take the module from sys.modules.
+        import bert4rec_tpu.ops.flash_attention  # noqa: F401
+        fa = sys.modules["bert4rec_tpu.ops.flash_attention"]
 
         def probs_nosmax(q, k, mask, scale, causal):
             s_mat = jax.lax.dot_general(
