@@ -111,6 +111,14 @@ def build_argparser():
                    help="also evaluate against the ENTIRE catalog (unbiased "
                         "protocol; Krichene & Rendle 2020) and emit the "
                         "numbers under results_full_ranking")
+    p.add_argument("--int8", action="store_true",
+                   help="additionally quantize the trained model's "
+                        "embedding table to int8 (models/quantization.py, "
+                        "the serving fast path) and re-run the sampled "
+                        "eval — emits results_int8 with the measured "
+                        "fp32->int8 metric delta and gates it "
+                        "(int8_ndcg10_drop gate when the preset defines "
+                        "one; a sanity bound otherwise)")
     return p
 
 
@@ -1031,6 +1039,30 @@ def run_oracle(args):
         print(f"[oracle-bench] full-ranking: {r4(res_full)} "
               f"({ms_per_batch:.1f} ms/batch)", flush=True)
 
+    int8_block = None
+    if args.int8:
+        # the serving fast path: weights-only per-row int8 table
+        # (models/quantization.py). The candidate-scoring path reads the
+        # raw int8 codes and applies scales after the contraction, so
+        # this measures the REAL quantized serving quality, not a
+        # dequantized simulation.
+        from bert4rec_tpu.models import quantization
+        qparams = quantization.quantize_params(model_params)
+        res_q = evaluate_scorer(model_obj, qparams, test, source=source,
+                                sample_size=ps["sample_size"], seed=0,
+                                batch_size=ps["batch_size"])
+        print(f"[oracle-bench] int8-quantized model: {r4(res_q)}",
+              flush=True)
+        int8_block = {
+            "results": {k: float(v) for k, v in res_q.items()},
+            "table_bytes_fp32": quantization.table_bytes(model_params),
+            "table_bytes_int8": quantization.table_bytes(qparams),
+            "ndcg10_drop_vs_fp32": round(
+                float(res_model["NDCG@10"]) - float(res_q["NDCG@10"]), 4),
+            "hr10_drop_vs_fp32": round(
+                float(res_model["HR@10"]) - float(res_q["HR@10"]), 4),
+        }
+
     gap_hr = float(res_model["HR@10"]) / max(float(oracle["HR@10"]), 1e-9)
     gap_ndcg = (float(res_model["NDCG@10"])
                 / max(float(oracle["NDCG@10"]), 1e-9))
@@ -1059,6 +1091,16 @@ def run_oracle(args):
     if ndcg_gate is not None:
         checks[f"model_reaches_{round(ndcg_gate * 100)}"
                "pct_of_oracle_ndcg10"] = gap_ndcg >= ndcg_gate
+    if int8_block is not None:
+        # the quantized serving path must hold quality: gate the NDCG@10
+        # drop at the preset's measured bound (int8_ndcg10_drop), with a
+        # 0.01 sanity default — per-row symmetric int8 on a 128-wide
+        # table is a ~0.4% weight perturbation, so a visible ranking
+        # drop means a broken scale path, not rounding
+        drop_gate = gates.get("int8_ndcg10_drop", 0.01)
+        checks[f"int8_ndcg10_drop_within_{drop_gate}"] = (
+            int8_block["ndcg10_drop_vs_fp32"] <= drop_gate)
+        int8_block["gate_ndcg10_drop"] = drop_gate
     if full_block is not None and "oracle_gap" in full_block:
         # the unsampled path is quality-gated too: the model cannot beat
         # the Bayes ceiling under the full protocol, and the preset may
@@ -1097,6 +1139,7 @@ def run_oracle(args):
         **({"gap_curve": curve} if curve is not None else {}),
         **({"results_full_ranking": full_block}
            if full_block is not None else {}),
+        **({"results_int8": int8_block} if int8_block is not None else {}),
         "checks": checks,
     })
     ok = all(checks.values())
