@@ -91,6 +91,24 @@ class TestOracleMode:
         assert ml1m["n_items"] == 3706 and ml1m["seq"] == 200
         assert ml1m["model"]["hidden_size"] == 128
 
+    def test_full_ranking_and_int8_flags(self):
+        """The unsampled-protocol and quantized-serving blocks are part
+        of the harness surface (r5): flags parse, the reddit scale
+        exists, and each preset's gates carry the expected knobs."""
+        qr = load_harness()
+        args = qr.build_argparser().parse_args(
+            ["--oracle", "--oracle-scale", "reddit", "--full-ranking",
+             "--int8"])
+        assert args.oracle_scale == "reddit"
+        assert args.full_ranking and args.int8
+        reddit = qr._ORACLE_PRESETS["reddit"]
+        assert reddit["n_items"] == 335420  # golden catalog size
+        # the ml20m preset gates the unsampled protocol
+        assert qr._ORACLE_PRESETS["ml20m"]["gates"]["full_ndcg10"] > 0
+        # the sasrec family carries its measured preset overrides
+        assert "reddit" in qr._SASREC_ORACLE_PRESET_OVERRIDES
+        assert "reddit" in qr._SASREC_ORACLE_GATE_OVERRIDES
+
     def test_temporal_oracle_family_flags_and_gates(self):
         qr = load_harness()
         args = qr.build_argparser().parse_args(

@@ -30,6 +30,7 @@ sys.path.insert(0, str(REPO))
 from bert4rec_tpu.evaluation.quality_harness import (  # noqa: E402,F401
     _ORACLE_PRESETS,
     _SASREC_ORACLE_GATE_OVERRIDES,
+    _SASREC_ORACLE_PRESET_OVERRIDES,
     _SMOKE_PRESETS,
     _TEMPORAL_ORACLE_GATES,
     build_argparser,
