@@ -303,6 +303,25 @@ class MarkovOracleScorer:
         return beaten + 1
 
 
+def host_ranks_from_rows(rows: np.ndarray, gt_ids: np.ndarray,
+                         labels: np.ndarray, valid: np.ndarray,
+                         vocab_size: int) -> np.ndarray:
+    """Shared host-side rank law for the full-ranking Bayes ceilings:
+    given per-position score rows ``[B, P, V]``, apply the evaluator's
+    exclusion set (the row's labels + ground truths), never let the GT
+    self-count, count ties ahead of the GT, and return the valid ranks."""
+    b, p = gt_ids.shape
+    gt = np.take_along_axis(rows, gt_ids[..., None], axis=-1)
+    excl = np.zeros((b, vocab_size), bool)
+    np.put_along_axis(excl, np.where(labels > 0, labels, 0),
+                      labels > 0, axis=1)
+    np.put_along_axis(excl, np.where(valid, gt_ids, 0), valid, axis=1)
+    rows = np.where(excl[:, None, :], NEG_INF, rows)
+    np.put_along_axis(rows, gt_ids[..., None], NEG_INF, axis=-1)
+    ranks = (rows >= gt).sum(axis=-1) + 1                 # [B, P]
+    return ranks[valid]
+
+
 def host_full_ranking_oracle(catalog, test_ds, *, context_offset: int = 0,
                              batch_size: int = 256):
     """Full-catalog (unsampled) GT ranks + metrics of the Bayes oracle,
@@ -337,7 +356,6 @@ def host_full_ranking_oracle(catalog, test_ds, *, context_offset: int = 0,
         pos = np.asarray(batch["masked_lm_positions"]).astype(np.int64)
         ids = np.asarray(batch["input_word_ids"])
         valid = weights > 0
-        b, p = gt_ids.shape
 
         # numpy twin of MarkovOracleScorer._prev_tokens
         prev_idx = np.maximum(pos - 1 + context_offset, 0)
@@ -345,15 +363,7 @@ def host_full_ranking_oracle(catalog, test_ds, *, context_offset: int = 0,
         prev = np.where(pos + context_offset <= 0, 1, prev)
 
         rows = logm[prev]                                 # [B, P, V]
-        gt = np.take_along_axis(rows, gt_ids[..., None], axis=-1)
-        excl = np.zeros((b, v), bool)
-        np.put_along_axis(excl, np.where(labels > 0, labels, 0),
-                          labels > 0, axis=1)
-        np.put_along_axis(excl, np.where(valid, gt_ids, 0), valid, axis=1)
-        rows = np.where(excl[:, None, :], NEG_INF, rows)
-        np.put_along_axis(rows, gt_ids[..., None], NEG_INF, axis=-1)
-        ranks = (rows >= gt).sum(axis=-1) + 1             # [B, P]
-        r = ranks[valid]
+        r = host_ranks_from_rows(rows, gt_ids, labels, valid, v)
         all_ranks.append(r)
         for m in metrics:
             m.update_batch(r)

@@ -517,12 +517,11 @@ def run_oracle_temporal(args):
     )
     from bert4rec_tpu.trainers import BERT4RecTrainer, optimizers
 
-    if args.gap_curve or args.full_ranking:
+    if args.gap_curve:
         raise SystemExit(
-            "--gap-curve / --full-ranking are not implemented for "
-            "--oracle-family temporal (they would silently no-op); use "
-            "the bert4rec/sasrec oracle families for those, or drop the "
-            "flag")
+            "--gap-curve is not implemented for --oracle-family temporal "
+            "(it would silently no-op); use the bert4rec/sasrec oracle "
+            "families for it, or drop the flag")
     ps = dict(_ORACLE_PRESETS[args.oracle_scale])
     gates = _TEMPORAL_ORACLE_GATES[args.oracle_scale]
     if "epochs" in gates:  # family-specific budget (see the gate table)
@@ -576,7 +575,7 @@ def run_oracle_temporal(args):
                               sample_size=ps["sample_size"], seed=0,
                               batch_size=ps["batch_size"])
         print(f"[temporal-oracle] {tag}: {r4(res)}", flush=True)
-        return res
+        return res, model, trainer.params
 
     ekw = dict(source=source, sample_size=ps["sample_size"], seed=0,
                batch_size=ps["batch_size"])
@@ -593,8 +592,74 @@ def run_oracle_temporal(args):
     shuffled = evaluate_scorer(TemporalOracleScorer(cat), None, test,
                                sampler="random", **ekw)
 
-    res_model = train_model(True, "temporal model")
-    res_ablation = train_model(False, "time-blind ablation")
+    res_model, model_obj, model_params = train_model(True,
+                                                     "temporal model")
+    res_ablation, _, _ = train_model(False, "time-blind ablation")
+
+    full_block = None
+    if args.full_ranking:
+        # unsampled protocol for the temporal family: the model streams
+        # the table (tiled above 65k vocab); BOTH Bayes ceilings come
+        # from the host dense law where it fits RAM, so the full
+        # protocol keeps the two-ceiling bracketing property
+        from bert4rec_tpu.evaluation import BERT4RecEvaluator
+        from bert4rec_tpu.evaluation.markov_oracle import fits_host_dense
+        from bert4rec_tpu.evaluation.temporal_oracle import (
+            host_full_ranking_temporal_oracle,
+        )
+        ev_full = BERT4RecEvaluator(full_ranking=True)
+        res_full = ev_full.evaluate(model_obj, model_params, test,
+                                    batch_size=ps["batch_size"],
+                                    progress_bar=False)
+        n_batches = -(-ps["test_rows"] // ps["batch_size"])
+        t_fr = time.time()
+        ev_full.evaluate(model_obj, model_params, test,
+                         batch_size=ps["batch_size"], progress_bar=False)
+        ms_per_batch = (time.time() - t_fr) * 1000 / n_batches
+        full_block = {
+            "results": {k: float(v) for k, v in res_full.items()},
+            "ms_per_batch": round(ms_per_batch, 2),
+            "batch_size": ps["batch_size"],
+        }
+        if fits_host_dense(cat):
+            fr_oracle, _ = host_full_ranking_temporal_oracle(
+                cat, test, batch_size=ps["batch_size"])
+            fr_blind, _ = host_full_ranking_temporal_oracle(
+                cat, test, time_blind=True, batch_size=ps["batch_size"])
+            full_block["results_temporal_bayes_ceiling"] = {
+                k: float(v) for k, v in fr_oracle.items()}
+            full_block["results_time_blind_bayes_ceiling"] = {
+                k: float(v) for k, v in fr_blind.items()}
+            full_block["oracle_gap"] = {
+                "NDCG@10_ratio": round(
+                    float(res_full["NDCG@10"])
+                    / max(float(fr_oracle["NDCG@10"]), 1e-9), 4),
+                "model_minus_blind_ceiling_ndcg10": round(
+                    float(res_full["NDCG@10"])
+                    - float(fr_blind["NDCG@10"]), 4)}
+        else:
+            full_block["results_temporal_bayes_ceiling"] = (
+                "skipped: dense [V, V] law exceeds host RAM at "
+                f"vocab {cat.vocab_size}")
+        print(f"[temporal-oracle] full-ranking: {r4(res_full)} "
+              f"({ms_per_batch:.1f} ms/batch)", flush=True)
+
+    int8_block = None
+    if args.int8:
+        from bert4rec_tpu.models import quantization
+        qparams = quantization.quantize_params(model_params)
+        res_q = evaluate_scorer(model_obj, qparams, test, source=source,
+                                sample_size=ps["sample_size"], seed=0,
+                                batch_size=ps["batch_size"])
+        print(f"[temporal-oracle] int8-quantized model: {r4(res_q)}",
+              flush=True)
+        int8_block = {
+            "results": {k: float(v) for k, v in res_q.items()},
+            "table_bytes_fp32": quantization.table_bytes(model_params),
+            "table_bytes_int8": quantization.table_bytes(qparams),
+            "ndcg10_drop_vs_fp32": round(
+                float(res_model["NDCG@10"]) - float(res_q["NDCG@10"]), 4),
+        }
 
     o_ndcg = float(oracle["NDCG@10"])
     b_ndcg = float(blind["NDCG@10"])
@@ -628,6 +693,16 @@ def run_oracle_temporal(args):
         # undertrained ablation
         checks["model_beats_blind_bayes_ceiling"] = (
             float(res_model["NDCG@10"]) >= b_ndcg + 0.01)
+    if full_block is not None and "oracle_gap" in full_block:
+        checks["full_ranking_does_not_beat_bayes"] = (
+            float(full_block["results"]["NDCG@10"])
+            <= float(full_block["results_temporal_bayes_ceiling"]
+                     ["NDCG@10"]) + 0.03)
+    if int8_block is not None:
+        drop_gate = gates.get("int8_ndcg10_drop", 0.01)
+        checks[f"int8_ndcg10_drop_within_{drop_gate}"] = (
+            int8_block["ndcg10_drop_vs_fp32"] <= drop_gate)
+        int8_block["gate_ndcg10_drop"] = drop_gate
     emit(args.out or f"quality_runs/oracle_{args.oracle_scale}_temporal", {
         "dataset": f"temporal markov-oracle benchmark "
                    f"({args.oracle_scale})",
@@ -659,6 +734,9 @@ def run_oracle_temporal(args):
                 round(float(res_model["NDCG@10"])
                       - float(res_ablation["NDCG@10"]), 4)},
         "gates": gates,
+        **({"results_full_ranking": full_block}
+           if full_block is not None else {}),
+        **({"results_int8": int8_block} if int8_block is not None else {}),
         "checks": checks,
     })
     ok = all(checks.values())

@@ -261,3 +261,79 @@ class TemporalOracleScorer:
         p = jnp.where(no_ctx[..., None], self._pop[ci], p)
         sc = jnp.log(jnp.maximum(p, 1e-30))
         return jnp.where(in_range & is_item, sc, NEG_INF)
+
+
+def host_full_ranking_temporal_oracle(catalog, test_ds, *,
+                                      time_blind: bool = False,
+                                      batch_size: int = 256):
+    """Full-catalog (unsampled) GT ranks + metrics of the temporal (or
+    time-blind) Bayes ceiling, computed on HOST numpy — the paired
+    ceilings for ``BERT4RecEvaluator(full_ranking=True)`` on the
+    temporal family, twin of ``markov_oracle.host_full_ranking_oracle``.
+
+    Mirrors :class:`TemporalOracleScorer` exactly: the per-position
+    context is routed one or two back by the decoded gap regime
+    (``time_blind`` scores the regime-MARGINAL law instead — probability
+    mixture of both routed contexts; positions without a second-back
+    context are structurally "fast"); special-token contexts fall back
+    to the popularity marginal; the rank/exclusion law is the shared
+    :func:`markov_oracle.host_ranks_from_rows`. Catalogs whose dense law
+    exceeds host RAM must skip (check ``markov_oracle.fits_host_dense``).
+
+    :returns: ``(metrics dict, ranks np.ndarray)``
+    """
+    from bert4rec_tpu.evaluation.bert4rec_evaluator import default_metrics
+    from bert4rec_tpu.evaluation.markov_oracle import host_ranks_from_rows
+
+    s, v = catalog.n_specials, catalog.vocab_size
+    threshold = catalog.regime_threshold_s
+    # token-space dense conditional in PROBABILITY space (blind mixing
+    # happens in prob space); float32 throughout — the fp64 tile at
+    # ML-20M width would double the host footprint
+    probs = np.zeros((v, v), np.float32)
+    base = (catalog.pop * (1.0 - catalog.alpha)).astype(np.float32)
+    probs[s:, s:] = base[None, :]
+    np.add.at(probs[s:, s:],
+              (np.repeat(np.arange(catalog.n_items), catalog.branching),
+               catalog.succ.ravel()),
+              (catalog.alpha * catalog.w).ravel().astype(np.float32))
+    probs[:s, s:] = catalog.pop.astype(np.float32)[None, :]
+
+    metrics = default_metrics()
+    all_ranks = []
+    for batch in test_ds.batches(batch_size, shuffle=False, seed=0):
+        labels = np.asarray(batch["labels"])
+        gt_ids = np.asarray(batch["masked_lm_ids"]).astype(np.int64)
+        weights = np.asarray(batch["masked_lm_weights"])
+        pos = np.asarray(batch["masked_lm_positions"]).astype(np.int64)
+        ids = np.asarray(batch["input_word_ids"])
+        valid = weights > 0
+
+        # numpy twin of TemporalOracleScorer._contexts (offset 0)
+        i1 = np.maximum(pos - 1, 0)
+        i2 = np.maximum(pos - 2, 0)
+        prev1 = np.take_along_axis(ids, i1, axis=1)
+        prev2 = np.take_along_axis(ids, i2, axis=1)
+        no_ctx = pos <= 0
+        no_second = pos - 2 < 0
+        prev1 = np.where(no_ctx, 1, prev1)
+
+        p1 = probs[prev1]                                 # [B, P, V]
+        if time_blind:
+            p2 = probs[prev2]
+            p = np.where(no_second[..., None], p1, 0.5 * (p1 + p2))
+        else:
+            ts = np.asarray(batch["input_timestamps"]).astype(np.int64)
+            gap = (np.take_along_axis(ts, np.maximum(pos, 0), axis=1)
+                   - np.take_along_axis(ts, i1, axis=1))
+            use2 = (gap.astype(np.float64) > threshold) & ~no_second
+            ctx = np.where(use2, prev2, prev1)
+            p = probs[ctx]
+        rows = np.log(np.maximum(p, 1e-30))
+        rows[:, :, :s] = NEG_INF                          # specials never score
+        r = host_ranks_from_rows(rows, gt_ids, labels, valid, v)
+        all_ranks.append(r)
+        for m in metrics:
+            m.update_batch(r)
+    return ({m.name: m.result() for m in metrics},
+            np.concatenate(all_ranks) if all_ranks else np.empty(0))

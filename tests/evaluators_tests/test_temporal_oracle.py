@@ -174,3 +174,48 @@ def test_ceiling_ordering_under_the_real_protocol():
     assert float(oracle["NDCG@10"]) > float(blind["NDCG@10"]) + 0.03
     assert float(blind["NDCG@10"]) > float(floor["NDCG@10"]) + 0.05
     assert float(oracle["HR@10"]) < 0.98  # non-saturating
+
+
+@pytest.mark.parametrize("blind", [False, True])
+def test_host_full_ranking_matches_scorer_bruteforce(blind):
+    """host_full_ranking_temporal_oracle (numpy dense law) must agree
+    rank-for-rank with brute force through the device scorer's sparse
+    score_candidates over the ENTIRE catalog, under the evaluator's
+    exclusion law — the paired-ceiling property the temporal
+    full-ranking gate rests on."""
+    from bert4rec_tpu.evaluation.temporal_oracle import (
+        host_full_ranking_temporal_oracle,
+    )
+    cat = CAT
+    v = cat.vocab_size
+    seqs, tss = cat.sample_sequences(48, 16, 24, seed=5)
+    cfg = MaskingConfig(max_seq_len=24, max_predictions_per_seq=6,
+                        mask_token_id=1, pad_token_id=0, unk_token_id=2,
+                        masked_lm_rate=0.3)
+    ds = ProcessedDataset(seqs, cfg, lambda: v,
+                          finetuning=np.ones(len(seqs), bool),
+                          timestamps=tss)
+    _, host_ranks = host_full_ranking_temporal_oracle(
+        cat, ds, time_blind=blind, batch_size=16)
+
+    scorer = TemporalOracleScorer(cat, time_blind=blind)
+    got = []
+    for batch in ds.batches(16, shuffle=False, seed=0):
+        feats = {k: np.asarray(x) for k, x in batch.items()
+                 if k not in ("labels", "example_weights")}
+        labels = np.asarray(batch["labels"])
+        gt = np.asarray(batch["masked_lm_ids"]).astype(np.int64)
+        valid = np.asarray(batch["masked_lm_weights"]) > 0
+        b, p = gt.shape
+        cand = np.broadcast_to(np.arange(v, dtype=np.int32),
+                               (b, p, v)).copy()
+        scores = np.asarray(scorer.score_candidates(None, feats, cand))
+        g = np.take_along_axis(scores, gt[..., None], axis=-1)
+        excl = np.zeros((b, v), bool)
+        np.put_along_axis(excl, np.where(labels > 0, labels, 0),
+                          labels > 0, axis=1)
+        np.put_along_axis(excl, np.where(valid, gt, 0), valid, axis=1)
+        scores = np.where(excl[:, None, :], -np.inf, scores)
+        np.put_along_axis(scores, gt[..., None], -np.inf, axis=-1)
+        got.append(((scores >= g).sum(axis=-1) + 1)[valid])
+    np.testing.assert_array_equal(np.concatenate(got), host_ranks)
