@@ -73,7 +73,13 @@ def gt_ranks_tiled(hidden: jnp.ndarray, table: jnp.ndarray,
     :param vocab_size: true vocab width (ids >= this are padding rows)
     :param exclude: optional ``[B, E]`` int ids (< 0 = padding) removed
         from the competitor set per batch row
-    :param tile: vocab tile width (the scan length is ceil(Vp / tile))
+    :param tile: vocab tile width (the scan length is ceil(Vp / tile)).
+        Measured on v5e at Reddit width (B=256, P=40, V=335k):
+        4096/8192/16384/32768 -> 20.5/19.8/20.6/21.9 ms — the default is
+        at the optimum, and the flat curve says the cost is the [rows,
+        tile] compare/mask VPU passes (the same VPU-bound law as the
+        tiled loss, CLAUDE.md), not scan overhead or table bandwidth
+        (171 MB at 819 GB/s would be 0.2 ms)
     :returns: ``[B, P]`` int32 ranks (>= 1)
     """
     vp, w = table.shape
