@@ -79,7 +79,14 @@ def gt_ranks_tiled(hidden: jnp.ndarray, table: jnp.ndarray,
         at the optimum, and the flat curve says the cost is the [rows,
         tile] compare/mask VPU passes (the same VPU-bound law as the
         tiled loss, CLAUDE.md), not scan overhead or table bandwidth
-        (171 MB at 819 GB/s would be 0.2 ms)
+        (171 MB at 819 GB/s would be 0.2 ms). A bias-folded variant
+        (masks pre-merged into one [B, Vp] fp32 additive bias, per-tile
+        body = matmul + add + compare + reduce) was implemented, proven
+        rank-identical, and measured SLOWER interleaved in one process
+        (21.2 -> 26.1 ms): XLA already fuses these boolean masks into
+        the compare, and the transposed bias layout + in-scan
+        self-hit gather cost more than the ops they removed — do not
+        re-try pass-count reasoning here, measure
     :returns: ``[B, P]`` int32 ranks (>= 1)
     """
     vp, w = table.shape
