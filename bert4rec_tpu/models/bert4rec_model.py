@@ -354,12 +354,14 @@ class BERT4RecModel:
         :returns: ``[B, P]`` int32 ranks (>= 1)
         """
         gt_ids = inputs["masked_lm_ids"].astype(jnp.int32)
-        emb = params["encoder"]["item_embeddings"]
         use_tiled = (vocab_tile is not None
-                     or (self.config.padded_vocab_size
-                         > self.TILED_RANK_VOCAB_THRESHOLD
-                         and "embedding_q" not in emb))
+                     or self.config.padded_vocab_size
+                     > self.TILED_RANK_VOCAB_THRESHOLD)
         if use_tiled:
+            # an int8 table is fine here: _mlm_hidden_and_table builds
+            # the dequantized [V, W] table (171 MB fp32 at 335k — cheap;
+            # the 13.7 GB problem this path exists for is the LOGITS
+            # tensor, which stays tiled either way)
             from bert4rec_tpu.ops import candidate_scoring
             hidden, table = self._mlm_hidden_and_table(params, inputs)
             return candidate_scoring.gt_ranks_tiled(

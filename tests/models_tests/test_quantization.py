@@ -124,6 +124,21 @@ class TestQuantizedFastPaths:
         assert ranks.shape == (4 * P,)
         assert ranks.min() >= 1
 
+    def test_tiled_rank_path_matches_dense_on_quantized_params(
+            self, model_and_params):
+        """At Reddit width the tiled rank path is the ONLY one that can
+        run, and quantized serving params must route through it with the
+        identical rank law (the tiled branch reads the dequantized
+        table, exactly like the dense fallback)."""
+        model, params = model_and_params
+        qp = quantization.quantize_params(params)
+        inputs = make_inputs()
+        feats = {**inputs, "masked_lm_ids": np.full((4, P), 5, np.int32)}
+        dense = np.asarray(model.gt_ranks_full_vocab(qp, feats))
+        tiled = np.asarray(model.gt_ranks_full_vocab(qp, feats,
+                                                     vocab_tile=16))
+        np.testing.assert_array_equal(tiled, dense)
+
 
 class TestQuantizedExport:
 
